@@ -1,0 +1,29 @@
+"""Test configuration: run on a virtual 8-device CPU mesh with float64.
+
+Numerical-parity tests (Gram matrices, likelihoods, MLE optima) need f64;
+the TPU bench path runs f32 separately via bench.py.
+"""
+import os
+
+# Must be set before jax initializes its backends. The environment presets
+# JAX_PLATFORMS=axon (the TPU tunnel), so force-override it for tests: the
+# numerical-parity suite needs real float64, which the TPU silently degrades.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
