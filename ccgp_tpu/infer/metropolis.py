@@ -1,0 +1,142 @@
+"""Laplace-seeded random-walk Metropolis with Geweke stopping.
+
+Reference semantics (`1D Codes and Designs/1D Combined GP Public.R:657-719`):
+
+* proposal: fixed multivariate normal centered at the current state with
+  covariance sqrt(2) * V_hat, where V_hat is the Laplace-approximation
+  covariance (`:669,690`); the chain starts at the Laplace mode.
+* accepted-only recording: rejected proposals are *retried without
+  recording the current state* — the stored chain is the subsequence of
+  accepted moves (reference quirk 2.7-1). `record="all"` gives the textbook
+  MH chain instead.
+* singular covariance at a proposal: the reference redraws until R is
+  invertible (`:687-693`); here a singular Gram yields logpost = -inf and
+  is rejected — the same Markov kernel, branch-free.
+* stopping: after `samp_size` accepted draws, every `batch_size` further
+  acceptances run a Geweke stationarity test on the trailing `samp_size`
+  window; sampling halts when min-over-parameters p-value >= alpha_geweke,
+  or after `n_max` recorded draws (`:684,707-712`).
+
+TPU-first design: one `lax.while_loop` whose carry holds the fixed-size
+sample buffers; the Geweke diagnostic runs on-device (`lax.cond`-gated), so
+an entire chain is a single jitted computation. Multiple chains = vmap over
+(start, key) — each chain stops at its own Geweke time, with masked
+buffers. Per-draw R^{-1} caches are NOT stored (the reference hauls n^2
+floats per draw through a data frame, `:729-783`); factorizations are
+recomputed batched at prediction time, which on the MXU is cheaper than the
+memory traffic.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ccgp_tpu.infer.geweke import geweke_pvalue
+from ccgp_tpu.infer.laplace import laplace, LaplaceFit
+
+
+class MetropolisResult(NamedTuple):
+    samples: jnp.ndarray     # (n_max, dim) unconstrained draws (ring buffer)
+    betas: jnp.ndarray       # (n_max,) GLS intercept per recorded draw
+    logposts: jnp.ndarray    # (n_max,) log-posterior per recorded draw
+    n_recorded: jnp.ndarray  # draws actually recorded (<= n_max)
+    n_proposals: jnp.ndarray
+    n_accepted: jnp.ndarray
+    pvalue: jnp.ndarray      # final Geweke p-value
+    converged: jnp.ndarray   # stopped via Geweke (vs. hitting n_max)
+    laplace: LaplaceFit
+
+    def retained(self, samp_size: int):
+        """Last `samp_size` recorded draws — the reference's
+        `samp[(k-samp.size):(k-1)]` slice (`1D...Public.R:717`)."""
+        start = self.n_recorded - samp_size
+        zs = jax.lax.dynamic_slice_in_dim(self.samples, start, samp_size)
+        bs = jax.lax.dynamic_slice_in_dim(self.betas, start, samp_size)
+        ls = jax.lax.dynamic_slice_in_dim(self.logposts, start, samp_size)
+        return zs, bs, ls
+
+
+def metropolis(
+    logpost: Callable,
+    start: jnp.ndarray,
+    key: jax.Array,
+    n_max: int,
+    samp_size: int,
+    batch_size: int = 20,
+    alpha_geweke: float = 0.5,
+    record: str = "accepted",       # 'accepted' (reference) | 'all'
+    proposal_cov_scale: float = 1.4142135623730951,  # sqrt(2), ref :690
+    laplace_maxiter: int = 100,
+    max_proposals: int | None = None,
+) -> MetropolisResult:
+    """Run one chain. `logpost(z)` must return an object with `.val` (scalar
+    log-posterior; -inf for invalid) and `.beta`."""
+    if record not in ("accepted", "all"):
+        raise ValueError(record)
+    dim = start.shape[-1]
+    dtype = start.dtype
+    if max_proposals is None:
+        max_proposals = 50 * n_max
+
+    fit = laplace(lambda z: logpost(z).val, start, maxiter=laplace_maxiter)
+    prop_chol = jnp.linalg.cholesky(proposal_cov_scale * fit.cov)
+
+    lp0 = logpost(fit.mode)
+
+    samples0 = jnp.zeros((n_max, dim), dtype)
+    betas0 = jnp.zeros((n_max,), dtype)
+    logposts0 = jnp.full((n_max,), -jnp.inf, dtype)
+
+    def do_geweke(samples, k_rec):
+        window = jax.lax.dynamic_slice_in_dim(samples, k_rec - samp_size,
+                                              samp_size)
+        return geweke_pvalue(window)
+
+    def cond(state):
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = state
+        return (k_rec < n_max) & (pv < alpha_geweke) & (n_prop < max_proposals)
+
+    def body(state):
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = state
+        key, k1, k2 = jax.random.split(key, 3)
+        eps = jax.random.normal(k1, (dim,), dtype)
+        cand = z + prop_chol @ eps
+        lp_c = logpost(cand)
+        log_u = jnp.log(jax.random.uniform(k2, dtype=dtype))
+        accept = (lp_c.val - lp_val) > log_u
+
+        z_new = jnp.where(accept, cand, z)
+        val_new = jnp.where(accept, lp_c.val, lp_val)
+        beta_new = jnp.where(accept, lp_c.beta, lp_beta)
+
+        if record == "accepted":
+            rec = accept
+        else:
+            rec = jnp.asarray(True)
+        row = k_rec
+        S = jnp.where(rec, S.at[row].set(z_new), S)
+        B = jnp.where(rec, B.at[row].set(beta_new), B)
+        L = jnp.where(rec, L.at[row].set(val_new), L)
+        k_rec = k_rec + rec.astype(k_rec.dtype)
+        n_acc = n_acc + accept.astype(n_acc.dtype)
+        n_prop = n_prop + 1
+
+        check = rec & (k_rec >= samp_size) & (k_rec % batch_size == 0)
+        pv = jax.lax.cond(check, lambda: do_geweke(S, k_rec), lambda: pv)
+        return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
+                S, B, L, pv)
+
+    init = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
+            fit.mode, lp0.val, lp0.beta, samples0, betas0, logposts0,
+            jnp.asarray(0.0, dtype))
+    (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    return MetropolisResult(
+        samples=S, betas=B, logposts=L, n_recorded=k_rec,
+        n_proposals=n_prop, n_accepted=n_acc, pvalue=pv,
+        converged=pv >= alpha_geweke, laplace=fit,
+    )

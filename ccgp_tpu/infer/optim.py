@@ -1,0 +1,80 @@
+"""On-device optimization: BFGS with multistart batching.
+
+The reference scatters optimizer calls everywhere — `nlminb` with random
+restarts for the kriging MLE (`1D Codes and Designs/1D Combined GP
+Public.R:455-471`), `optim(L-BFGS-B)` for the CGP baseline
+(`1D...Public.R:156-161`) and the design search (`Batch Sequential ME
+Designs/Batch Sequential ME Design.R:900`). The TPU-first equivalent is one
+vmapped BFGS: every restart is a batch lane of the same compiled kernel, so
+a 25-start search costs one kernel launch instead of 25 serial optimizations.
+
+Box constraints are handled by the smooth tanh reparameterization
+(`ccgp_tpu.utils.transforms.tanh_box`), keeping the problem unconstrained
+and the compiled graph branch-free.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.optimize import minimize as _jsp_minimize
+
+from ccgp_tpu.utils import transforms
+
+
+class MultistartResult(NamedTuple):
+    x: jnp.ndarray          # best point found (constrained space)
+    fun: jnp.ndarray        # objective value at x
+    xs: jnp.ndarray         # all restart solutions
+    funs: jnp.ndarray       # all restart objective values
+
+
+def _guard(fn):
+    """Make an objective safe for line searches: non-finite -> huge."""
+
+    def wrapped(z, *args):
+        v = fn(z, *args)
+        return jnp.where(jnp.isfinite(v), v, jnp.asarray(1e10, v.dtype))
+
+    return wrapped
+
+
+def minimize_bfgs(fn, x0: jnp.ndarray, maxiter: int = 100):
+    """Unconstrained BFGS minimization (jit/vmap-compatible)."""
+    res = _jsp_minimize(_guard(fn), x0, method="BFGS",
+                        options={"maxiter": maxiter})
+    return res.x, res.fun
+
+
+def multistart_minimize(
+    fn,
+    starts: jnp.ndarray,
+    lower: Optional[jnp.ndarray] = None,
+    upper: Optional[jnp.ndarray] = None,
+    maxiter: int = 100,
+) -> MultistartResult:
+    """Minimize fn from many starts in parallel; optionally box-constrained.
+
+    starts: (k, d) in *constrained* space when bounds are given.
+    """
+    bounded = lower is not None
+    if bounded:
+        lower = jnp.asarray(lower, starts.dtype)
+        upper = jnp.asarray(upper, starts.dtype)
+
+        def obj(u):
+            return fn(transforms.tanh_box(u, lower, upper))
+
+        z0 = jax.vmap(lambda s: transforms.tanh_box_inverse(s, lower, upper))(starts)
+    else:
+        obj = fn
+        z0 = starts
+
+    xs, funs = jax.vmap(lambda z: minimize_bfgs(obj, z, maxiter))(z0)
+    if bounded:
+        xs = jax.vmap(lambda u: transforms.tanh_box(u, lower, upper))(xs)
+    # non-finite restarts lose
+    funs = jnp.where(jnp.isfinite(funs), funs, jnp.inf)
+    best = jnp.argmin(funs)
+    return MultistartResult(x=xs[best], fun=funs[best], xs=xs, funs=funs)

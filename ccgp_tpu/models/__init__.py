@@ -1,0 +1,17 @@
+from ccgp_tpu.models.priors import InverseGamma, LogNormal, Uniform01, JeffreysUnit
+from ccgp_tpu.models.combination import (
+    MixtureSpec,
+    MixParams,
+    mix_weights,
+    mixed_gram,
+    mixed_cross,
+    unpack,
+    pack,
+)
+from ccgp_tpu.models.likelihood import (
+    gls_beta,
+    sigma2_mle,
+    profile_nll,
+    LogPost,
+    make_logpost,
+)

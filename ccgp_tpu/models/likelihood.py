@@ -1,0 +1,107 @@
+"""Profile likelihood and transformed log-posterior for the combined GP.
+
+Reference semantics (`1D Codes and Designs/1D Combined GP Public.R:397-444,
+609-641`):
+
+    beta_hat   = 1'R^{-1}y / 1'R^{-1}1                    (GLS intercept)
+    sigma2_hat = (y-beta 1)'R^{-1}(y-beta 1) / n          (plug-in variance)
+    loglike    = dmnorm(y; beta 1, (p^2+(1-p)^2) sigma2 R)
+    logpost    = loglike + log-Jacobian + log-prior
+
+TPU-first: everything is one Cholesky + triangular solves (no explicit
+R^{-1}); a singular R yields NaN which flows to logpost = -inf, turning the
+reference's try/retry exception handling (`1D...Public.R:687-693`) into pure
+dataflow that the Metropolis kernel treats as a rejection.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+
+from ccgp_tpu.models.combination import MixtureSpec, MixParams, mixed_gram, mix_weights, unpack
+from ccgp_tpu.ops import linalg
+from ccgp_tpu.utils import stats
+
+
+def gls_beta(chol: jnp.ndarray, y: jnp.ndarray):
+    """GLS intercept via whitened regressors: beta = <u, a>/<u, u> where
+    u = L^{-1}1, a = L^{-1}y."""
+    ones = jnp.ones_like(y)
+    u = linalg.tri_solve(chol, ones)
+    a = linalg.tri_solve(chol, y)
+    return jnp.sum(u * a, axis=-1) / jnp.sum(u * u, axis=-1)
+
+
+def sigma2_mle(chol: jnp.ndarray, y: jnp.ndarray, beta) -> jnp.ndarray:
+    """(y - beta 1)' R^{-1} (y - beta 1) / n."""
+    n = y.shape[-1]
+    w = linalg.tri_solve(chol, y - beta[..., None])
+    return jnp.sum(w * w, axis=-1) / n
+
+
+def profile_nll(chol: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """log det R + n log sigma2_hat — the reference's `log.like`
+    (`1D...Public.R:424-428`), minimized for ordinary-kriging MLEs."""
+    n = y.shape[-1]
+    beta = gls_beta(chol, y)
+    s2 = sigma2_mle(chol, y, beta)
+    return linalg.chol_logdet(chol) + n * jnp.log(s2)
+
+
+class LogPost(NamedTuple):
+    """Value + per-evaluation byproducts cached for downstream prediction."""
+
+    val: jnp.ndarray      # log-posterior (non-finite == invalid proposal)
+    beta: jnp.ndarray     # GLS intercept at these parameters
+    chol: jnp.ndarray     # lower Cholesky of R_mix (the factor cache)
+    params: MixParams     # constrained parameters
+
+
+def make_logpost(
+    spec: MixtureSpec,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    sigma2,
+    theta1_prior=None,
+    theta2_prior=None,
+    p_prior=None,
+    jitter: float = 0.0,
+):
+    """Build logpost(z) for unconstrained z, closing over data and priors.
+
+    * theta1_prior / theta2_prior apply to the constrained theta1/theta2
+      entries of MixParams (theta2 is lambda in tied/lambda modes);
+      anisotropic theta1 priors apply elementwise (the reference uses iid
+      per-axis lognormals, `2D...Anisotropic Public.R:462`).
+    * p_prior defaults to flat on (0,1).
+    """
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+
+    def logpost(z: jnp.ndarray) -> LogPost:
+        params, log_jac = unpack(spec, z)
+        r = mixed_gram(spec, x, params)
+        chol = linalg.jitter_cholesky(r, jitter)
+        beta = gls_beta(chol, y)
+        _, _, s = mix_weights(params.p)
+        log_scale = jnp.log(s * sigma2)
+        loglike = stats.mvn_logpdf_chol(y, beta[..., None], chol, log_scale)
+
+        log_prior = jnp.zeros_like(loglike)
+        if theta1_prior is not None:
+            lp1 = theta1_prior.log_kernel(params.theta1)
+            log_prior = log_prior + (jnp.sum(lp1, axis=-1)
+                                     if spec.anisotropic else lp1)
+        if theta2_prior is not None:
+            log_prior = log_prior + theta2_prior.log_kernel(params.theta2)
+        if p_prior is not None:
+            log_prior = log_prior + p_prior.log_kernel(params.p)
+
+        val = loglike + log_jac + log_prior
+        # non-finite Cholesky (singular R) => -inf: proposal auto-rejected
+        ok = jnp.isfinite(val)
+        val = jnp.where(ok, val, -jnp.inf)
+        return LogPost(val=val, beta=beta, chol=chol, params=params)
+
+    return logpost

@@ -130,15 +130,44 @@ class KernelFamily:
 
     theta conventions follow the reference: SE uses *rates* (larger = rougher),
     Matern/spline use *scales* (smaller = rougher).
+
+    `raw_kind` / `raw` / `raw_cross` / `corr_from_raw` expose a reusable
+    theta-independent precomputation (the distance matrix): two families with
+    the same `raw_kind` can share one O(n^2 d) distance pass — exactly what
+    the convex-combination covariance needs, since it evaluates two kernels
+    on the same point set. For `sqexp`, `corr_from_raw` only accepts a
+    *scalar* rate (isotropic); anisotropic rates fold into the distance
+    weighting and take the direct `gram` path.
     """
 
     name: str
     gram: Callable
     cross: Callable
+    raw_kind: str
+    raw: Callable
+    raw_cross: Callable
+    corr_from_raw: Callable
+
+
+def _absdiff_raw(x):
+    x = x[..., 0] if x.ndim >= 2 and x.shape[-1] == 1 else x
+    return distance.pairwise_absdiff(x)
+
+
+def _absdiff_raw_cross(x, y):
+    x = x[..., 0] if x.ndim >= 2 and x.shape[-1] == 1 else x
+    y = y[..., 0] if y.ndim >= 2 and y.shape[-1] == 1 else y
+    return distance.cross_absdiff(x, y)
 
 
 def sqexp_family() -> KernelFamily:
-    return KernelFamily("sqexp", sqexp_gram, sqexp_cross)
+    return KernelFamily(
+        "sqexp", sqexp_gram, sqexp_cross,
+        raw_kind="sqdist",
+        raw=lambda x: distance.pairwise_sqdist(x, 1.0),
+        raw_cross=lambda x, y: distance.cross_sqdist(x, y, 1.0),
+        corr_from_raw=lambda d2, th: jnp.exp(-jnp.asarray(th) * d2),
+    )
 
 
 def matern_family(nu: float) -> KernelFamily:
@@ -147,8 +176,18 @@ def matern_family(nu: float) -> KernelFamily:
         f"matern{nu:g}",
         lambda x, th: matern_gram(x, th, nu),
         lambda x, y, th: matern_cross(x, y, th, nu),
+        raw_kind="absdiff",
+        raw=_absdiff_raw,
+        raw_cross=_absdiff_raw_cross,
+        corr_from_raw=lambda h, th: matern_corr(h, th, nu),
     )
 
 
 def spline_family() -> KernelFamily:
-    return KernelFamily("spline", spline_gram, spline_cross)
+    return KernelFamily(
+        "spline", spline_gram, spline_cross,
+        raw_kind="absdiff",
+        raw=_absdiff_raw,
+        raw_cross=_absdiff_raw_cross,
+        corr_from_raw=spline_corr,
+    )
