@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ccgp_tpu.infer.optim import multistart_minimize
-from ccgp_tpu.models.likelihood import gls_beta, sigma2_mle, profile_nll
+from ccgp_tpu.ops.gp import gls_beta, sigma2_mle, profile_nll
 from ccgp_tpu.ops import linalg
 from ccgp_tpu.ops.kernels import KernelFamily
 

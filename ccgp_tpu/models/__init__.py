@@ -15,3 +15,10 @@ from ccgp_tpu.models.likelihood import (
     LogPost,
     make_logpost,
 )
+from ccgp_tpu.models.kriging import kriging_predict, KrigingPrediction
+from ccgp_tpu.models.combined_gp import (
+    MCMCConfig,
+    CombinedGPFit,
+    fit_combined_gp,
+    predict_combined_gp,
+)

@@ -1,0 +1,114 @@
+"""CombinedGP — the flagship end-to-end model.
+
+Orchestrates the full reference pipeline `Combined.GP.fit`
+(`1D Codes and Designs/1D Combined GP Public.R:989-1018`):
+
+  1. plug-in sigma^2 from an ordinary-kriging profile-ML fit
+     (replaces `MLEs` / `mlegp`),
+  2. Laplace-seeded Metropolis over the transformed hyperparameters
+     (`factors.frame` / `Metro`),
+  3. per-draw Cholesky factor cache,
+  4. posterior-predictive prediction with MC intervals.
+
+Everything after data loading is jit-compiled; the MCMC is one
+`lax.while_loop`, the factor cache and prediction are batched over retained
+draws, and multiple chains vmap.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ccgp_tpu.infer.metropolis import metropolis, MetropolisResult
+from ccgp_tpu.infer.mle import kriging_mle, KrigingMLE
+from ccgp_tpu.models.combination import MixtureSpec, MixParams, unpack
+from ccgp_tpu.models.likelihood import make_logpost
+from ccgp_tpu.models.priors import InverseGamma
+from ccgp_tpu.ops.kernels import KernelFamily
+from ccgp_tpu.predict.factors import build_factors, FactorCache
+from ccgp_tpu.predict.posterior import (
+    predictive_moments, posterior_predict, PosteriorPrediction,
+)
+
+
+@dataclass(frozen=True)
+class MCMCConfig:
+    """Knobs of the reference's `Metro` runs (defaults = 2-D scripts,
+    `2D Codes and Designs/2D Combined GP Isotropic Public.R:845-852`)."""
+
+    start: tuple = (1.0, 1.0, 0.0)
+    n_max: int = 5000
+    samp_size: int = 1000
+    net_samp_size: int = 1000
+    batch_size: int = 20
+    alpha_geweke: float = 0.5
+    record: str = "accepted"
+
+
+class CombinedGPFit(NamedTuple):
+    sigma2: jnp.ndarray
+    mle: KrigingMLE
+    mcmc: MetropolisResult
+    cache: FactorCache          # factors for the net retained draws
+    zs: jnp.ndarray             # (net, n_params) retained unconstrained draws
+    params: MixParams           # batched constrained draws
+
+
+def fit_combined_gp(
+    spec: MixtureSpec,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    key: jax.Array,
+    mcmc: MCMCConfig = MCMCConfig(),
+    theta1_prior=InverseGamma(3, 2),
+    theta2_prior=InverseGamma(5, 16),
+    p_prior=None,
+    sigma2=None,
+    mle_family: Optional[KernelFamily] = None,
+    mle_ard: bool = False,
+    jitter: float = 0.0,
+) -> CombinedGPFit:
+    """Fit the combined GP. sigma2=None triggers the plug-in kriging MLE."""
+    k_mle, k_mcmc = jax.random.split(key)
+    family = mle_family or spec.kernel1
+    mle = kriging_mle(family, x, y, k_mle, ard=mle_ard, jitter=jitter)
+    s2 = mle.sigma2 if sigma2 is None else jnp.asarray(sigma2, x.dtype)
+
+    logpost = make_logpost(spec, x, y, s2, theta1_prior=theta1_prior,
+                           theta2_prior=theta2_prior, p_prior=p_prior,
+                           jitter=jitter)
+    res = metropolis(logpost, jnp.asarray(mcmc.start, x.dtype), k_mcmc,
+                     n_max=mcmc.n_max, samp_size=mcmc.samp_size,
+                     batch_size=mcmc.batch_size,
+                     alpha_geweke=mcmc.alpha_geweke, record=mcmc.record)
+    zs_all, betas_all, _ = res.retained(mcmc.samp_size)
+    # reference keeps the last net_samp_size of the samp_size window
+    # (`1D...Public.R:755,777`)
+    zs = zs_all[mcmc.samp_size - mcmc.net_samp_size:]
+    betas = betas_all[mcmc.samp_size - mcmc.net_samp_size:]
+    cache = build_factors(spec, x, y, zs, betas, jitter=jitter)
+    params, _ = jax.vmap(lambda z: unpack(spec, z))(zs)
+    return CombinedGPFit(sigma2=s2, mle=mle, mcmc=res, cache=cache, zs=zs,
+                         params=params)
+
+
+def predict_combined_gp(
+    spec: MixtureSpec,
+    fit: CombinedGPFit,
+    x: jnp.ndarray,
+    x_new: jnp.ndarray,
+    key: jax.Array,
+    alpha: float = 0.05,
+    quant_ref: Optional[jnp.ndarray] = None,
+    var_scale: str = "sigma2",
+    normalized_cross: bool = True,
+    drop_negative_var: bool = True,
+) -> PosteriorPrediction:
+    dm, dv = predictive_moments(spec, fit.cache, x, x_new, fit.sigma2,
+                                var_scale=var_scale,
+                                normalized_cross=normalized_cross)
+    return posterior_predict(key, dm, dv, alpha=alpha, quant_ref=quant_ref,
+                             drop_negative_var=drop_negative_var)

@@ -21,32 +21,8 @@ import jax.numpy as jnp
 
 from ccgp_tpu.models.combination import MixtureSpec, MixParams, mixed_gram, mix_weights, unpack
 from ccgp_tpu.ops import linalg
+from ccgp_tpu.ops.gp import gls_beta, sigma2_mle, profile_nll  # re-export
 from ccgp_tpu.utils import stats
-
-
-def gls_beta(chol: jnp.ndarray, y: jnp.ndarray):
-    """GLS intercept via whitened regressors: beta = <u, a>/<u, u> where
-    u = L^{-1}1, a = L^{-1}y."""
-    ones = jnp.ones_like(y)
-    u = linalg.tri_solve(chol, ones)
-    a = linalg.tri_solve(chol, y)
-    return jnp.sum(u * a, axis=-1) / jnp.sum(u * u, axis=-1)
-
-
-def sigma2_mle(chol: jnp.ndarray, y: jnp.ndarray, beta) -> jnp.ndarray:
-    """(y - beta 1)' R^{-1} (y - beta 1) / n."""
-    n = y.shape[-1]
-    w = linalg.tri_solve(chol, y - beta[..., None])
-    return jnp.sum(w * w, axis=-1) / n
-
-
-def profile_nll(chol: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """log det R + n log sigma2_hat — the reference's `log.like`
-    (`1D...Public.R:424-428`), minimized for ordinary-kriging MLEs."""
-    n = y.shape[-1]
-    beta = gls_beta(chol, y)
-    s2 = sigma2_mle(chol, y, beta)
-    return linalg.chol_logdet(chol) + n * jnp.log(s2)
 
 
 class LogPost(NamedTuple):

@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.spatial.distance as ssd
+
+from ccgp_tpu.models import MixtureSpec, MixParams, pack
+from ccgp_tpu.ops import kernels
+from ccgp_tpu.predict import build_factors, predictive_moments, posterior_predict
+from ccgp_tpu.utils import stats
+
+
+def iso_spec():
+    return MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=2)
+
+
+def se(x, y, th):
+    return np.exp(-ssd.cdist(x, y) ** 2 * th)
+
+
+def mix_np(x, y, p, t1, t2):
+    r = p**2 * se(x, y, t1) + (1 - p) ** 2 * se(x, y, t2)
+    return r / (p**2 + (1 - p) ** 2)
+
+
+def test_predictive_moments_match_reference_formulas(rng):
+    """Per-draw mean/var vs literal transcription of predict.post
+    (`1D Combined GP Public.R:794-812`)."""
+    n, t, m = 10, 6, 4
+    x = rng.uniform(size=(n, 2))
+    xn = rng.uniform(size=(t, 2))
+    y = rng.normal(size=n)
+    sigma2 = 1.9
+    spec = iso_spec()
+
+    draws = [(0.6, 1.1, 7.0), (0.7, 0.8, 5.0), (0.5, 2.0, 9.0), (0.65, 1.5, 6.0)]
+    zs = jnp.stack([
+        pack(spec, MixParams(p=jnp.asarray(p), theta1=jnp.asarray(a),
+                             theta2=jnp.asarray(b)))
+        for p, a, b in draws
+    ])
+    betas = jnp.asarray(rng.normal(size=m))
+    cache = build_factors(spec, jnp.asarray(x), jnp.asarray(y), zs, betas)
+    dm, dv = predictive_moments(spec, cache, jnp.asarray(x), jnp.asarray(xn),
+                                sigma2)
+    for i, (p, t1, t2) in enumerate(draws):
+        r_train = mix_np(x, x, p, t1, t2)
+        np.fill_diagonal(r_train, 1.0)
+        rinv = np.linalg.inv(r_train)
+        rvec = mix_np(x, xn, p, t1, t2)          # (n, t)
+        beta = float(betas[i])
+        mean_want = beta + rvec.T @ rinv @ (y - beta)
+        ones = np.ones(n)
+        var_want = sigma2 * (1 - np.einsum("nt,nm,mt->t", rvec, rinv, rvec)
+                             + (1 - ones @ rinv @ rvec) ** 2
+                             / (ones @ rinv @ ones))
+        assert np.allclose(np.asarray(dm[i]), mean_want, rtol=1e-9)
+        assert np.allclose(np.asarray(dv[i]), var_want, rtol=1e-8)
+
+
+def test_posterior_predict_aggregation(rng):
+    m, t = 4000, 3
+    mu = np.array([1.0, -2.0, 0.5])
+    sd = np.array([0.3, 0.8, 0.1])
+    dm = jnp.asarray(np.broadcast_to(mu, (m, t)) + 0.0)
+    dv = jnp.asarray(np.broadcast_to(sd**2, (m, t)) + 0.0)
+    out = posterior_predict(jax.random.PRNGKey(0), dm, dv, alpha=0.05)
+    assert np.allclose(np.asarray(out.mean), mu, atol=1e-9)
+    # MC quantiles approx mu +- 1.96 sd
+    assert np.allclose(np.asarray(out.upper), mu + 1.96 * sd, atol=0.12)
+    assert np.allclose(np.asarray(out.lower), mu - 1.96 * sd, atol=0.12)
+    # calibration vs the mean should be ~0.5
+    assert np.allclose(np.asarray(out.quant), 0.5, atol=0.05)
+
+
+def test_posterior_predict_negative_var_masked(rng):
+    m, t = 200, 2
+    dm = jnp.asarray(rng.normal(size=(m, t)))
+    dv = jnp.asarray(rng.uniform(0.5, 1.0, size=(m, t)))
+    dv = dv.at[: m // 2, 0].set(-1.0)  # half the draws invalid at point 0
+    out = posterior_predict(jax.random.PRNGKey(1), dm, dv)
+    assert np.all(np.isfinite(np.asarray(out.lower)))
+    assert np.all(np.isfinite(np.asarray(out.upper)))
+    # masked mean at point 0 uses only valid draws
+    want = np.mean(np.asarray(dm)[m // 2:, 0])
+    assert np.isclose(float(out.mean[0]), want, rtol=1e-9)
+
+
+def test_masked_quantile_matches_numpy(rng):
+    x = rng.normal(size=100)
+    valid = rng.uniform(size=100) > 0.3
+    got = float(stats.masked_quantile(jnp.asarray(x), jnp.asarray(valid), 0.25))
+    want = np.quantile(x[valid], 0.25)
+    assert np.isclose(got, want, rtol=1e-9)
+
+
+def test_quant_ref_y_true(rng):
+    # 1-D reference computes calibration against y_true
+    m, t = 1000, 2
+    dm = jnp.zeros((m, t))
+    dv = jnp.ones((m, t))
+    y_true = jnp.asarray([0.0, 10.0])
+    out = posterior_predict(jax.random.PRNGKey(2), dm, dv, quant_ref=y_true)
+    assert abs(float(out.quant[0]) - 0.5) < 0.06   # y_true at the center
+    assert float(out.quant[1]) < 0.01              # y_true far above draws
