@@ -16,6 +16,12 @@ from ccgp_tpu.models.likelihood import (
     make_logpost,
 )
 from ccgp_tpu.models.kriging import kriging_predict, KrigingPrediction
+from ccgp_tpu.models.composite_gp import (
+    cgp_fit,
+    cgp_predict,
+    CGPFit,
+    CGPPrediction,
+)
 from ccgp_tpu.models.combined_gp import (
     MCMCConfig,
     CombinedGPFit,
