@@ -1,0 +1,122 @@
+"""Benchmark: fit + predict the 2-D anisotropic combined GP on the
+reference's 100-pt maximin design (the BASELINE.json north-star workload;
+target < 50 ms end-to-end on one TPU v5e chip).
+
+"fit" = plug-in sigma^2 profile-ML (multistart BFGS) + MAP estimation of the
+4 transformed hyperparameters (psi1, psi2, phi, zeta) by multistart BFGS on
+the exact log-posterior; "predict" = posterior-predictive mean/variance at
+the MAP on a 25x25 lattice. Everything is one jitted program; timing is the
+median of repeated post-warmup runs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ccgp_tpu.eval.datasets import load_maximin_2d
+    from ccgp_tpu.eval.functions import test_function_2d
+    from ccgp_tpu.infer.optim import multistart_minimize
+    from ccgp_tpu.models import MixtureSpec, InverseGamma, LogNormal, make_logpost
+    from ccgp_tpu.models.combination import unpack, mixed_gram, mixed_cross
+    from ccgp_tpu.ops import kernels, linalg
+    from ccgp_tpu.ops.gp import gls_beta, sigma2_mle, profile_nll
+
+    dtype = jnp.float32
+    # float32 needs ~1e-3 relative jitter: the 100-pt SE Gram's smallest
+    # eigenvalues sit below the f32 rounding floor (n*eps*lambda_max ~ 6e-4)
+    jitter = 1e-3
+
+    try:
+        x_np = load_maximin_2d(100)
+    except FileNotFoundError:
+        x_np = np.random.default_rng(0).uniform(size=(100, 2))
+    x = jnp.asarray(x_np, dtype)
+    y = jnp.asarray(np.asarray(test_function_2d(jnp.asarray(x_np), 2)), dtype)
+    u = np.linspace(0, 1, 25)
+    grid = jnp.asarray(np.stack(np.meshgrid(u, u), -1).reshape(-1, 2), dtype)
+
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
+                       dim=2, rough="tied", anisotropic=True)
+    fam = kernels.sqexp_family()
+
+    mle_starts = jnp.linspace(-3.0, 5.0, 8, dtype=dtype)[:, None]
+    map_starts = jnp.asarray(
+        [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 0.0, 1.0],
+         [2.0, 2.0, 1.0, 0.0], [-1.0, 0.5, -1.0, 1.5]], dtype)
+
+    def fit_predict(x, y, grid):
+        # 1) plug-in sigma^2: isotropic SE profile-ML, 8 vmapped starts,
+        # box-constrained (an unconstrained search in f32 can ride Cholesky
+        # round-off into a spurious degenerate optimum at theta -> 0)
+        def nll(lt):
+            r = fam.gram(x, jnp.exp(lt[0]))
+            return profile_nll(linalg.jitter_cholesky(r, jitter), y)
+
+        mres = multistart_minimize(nll, mle_starts, maxiter=40,
+                                   lower=jnp.asarray([-5.0], dtype),
+                                   upper=jnp.asarray([6.0], dtype))
+        chol0 = linalg.jitter_cholesky(fam.gram(x, jnp.exp(mres.x[0])), jitter)
+        beta0 = gls_beta(chol0, y)
+        sigma2 = sigma2_mle(chol0, y, beta0)
+
+        # 2) MAP of the 4-parameter anisotropic posterior, 4 vmapped starts
+        logpost = make_logpost(spec, x, y, sigma2,
+                               theta1_prior=LogNormal(-1.0, 1.0),
+                               theta2_prior=InverseGamma(3, 4),
+                               jitter=jitter)
+        neg = lambda z: -logpost(z).val
+        mapres = multistart_minimize(neg, map_starts, maxiter=60)
+        z_map = mapres.x
+
+        # 3) predict at the MAP over the lattice
+        out = logpost(z_map)
+        params, _ = unpack(spec, z_map)
+        rx = mixed_cross(spec, x, grid, params)
+        v = linalg.tri_solve(out.chol, rx)
+        a = linalg.tri_solve(out.chol, y - out.beta)
+        uvec = linalg.tri_solve(out.chol, jnp.ones_like(y))
+        mean = out.beta + jnp.einsum("n,nt->t", a, v)
+        var = sigma2 * (1.0 - jnp.einsum("nt,nt->t", v, v)
+                        + (1.0 - jnp.einsum("n,nt->t", uvec, v)) ** 2
+                        / jnp.sum(uvec * uvec))
+        return mean, var, z_map, sigma2
+
+    fit_predict_j = jax.jit(fit_predict)
+
+    # warmup (compile)
+    mean, var, z_map, s2 = jax.block_until_ready(fit_predict_j(x, y, grid))
+    assert np.isfinite(np.asarray(mean)).all()
+
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fit_predict_j(x, y, grid))
+        times.append(time.perf_counter() - t0)
+    ms = float(np.median(times) * 1e3)
+
+    # accuracy sanity: RMSPE on the lattice must be small (guards against
+    # "fast but wrong")
+    y_true = np.asarray(test_function_2d(grid, 2))
+    rmspe = float(np.sqrt(np.mean((y_true - np.asarray(mean)) ** 2)))
+
+    print(json.dumps({
+        "metric": "fit_predict_2d_aniso_100pt_maximin",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(50.0 / ms, 3),
+        "rmspe": round(rmspe, 5),
+        "backend": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Shared study runner: fit combined GP + both baselines, compare.
+
+This is the framework's `compare.GP` + `Comparison.Summary` equivalent
+(`1D Codes and Designs/1D Combined GP Public.R:854-903`): fit the combined
+GP (plug-in sigma^2 -> Metropolis -> posterior predictive), ordinary
+kriging with t-intervals, and the composite GP on the same data, then
+produce the RMSPE / coverage / calibration table.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccgp_tpu.eval.compare import comparison_summary, ComparisonSummary, ModelPrediction
+from ccgp_tpu.infer.mle import kriging_mle
+from ccgp_tpu.models import (
+    MixtureSpec, MCMCConfig, fit_combined_gp, predict_combined_gp,
+    kriging_predict, cgp_fit, cgp_predict,
+)
+from ccgp_tpu.models.combined_gp import CombinedGPFit
+from ccgp_tpu.ops.kernels import KernelFamily
+
+
+class StudyResult(NamedTuple):
+    summary: ComparisonSummary
+    fit: CombinedGPFit
+    predictions: dict     # model name -> ModelPrediction
+    y_true: np.ndarray
+
+
+def run_study(
+    spec: MixtureSpec,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    x_new: jnp.ndarray,
+    y_true: np.ndarray,
+    key: jax.Array,
+    mcmc: MCMCConfig,
+    theta1_prior,
+    theta2_prior,
+    alpha: float = 0.05,
+    quant_vs_truth: bool = False,     # 1-D reference computes Quant vs y_true
+    sigma2=None,
+    mle_family: Optional[KernelFamily] = None,
+    mle_ard: bool = False,
+    run_cgp: bool = True,
+    run_single: bool = True,
+    cgp_candidates: int = 505,
+    jitter: float = 0.0,
+) -> StudyResult:
+    k_fit, k_pred, k_cgp, k_single = jax.random.split(key, 4)
+
+    fit = fit_combined_gp(spec, x, y, k_fit, mcmc=mcmc,
+                          theta1_prior=theta1_prior,
+                          theta2_prior=theta2_prior, sigma2=sigma2,
+                          mle_family=mle_family, mle_ard=mle_ard,
+                          jitter=jitter)
+    quant_ref = jnp.asarray(y_true, x.dtype) if quant_vs_truth else None
+    pred = predict_combined_gp(spec, fit, x, x_new, k_pred, alpha=alpha,
+                               quant_ref=quant_ref)
+    predictions = {
+        "combined": ModelPrediction(np.asarray(pred.mean),
+                                    np.asarray(pred.lower),
+                                    np.asarray(pred.upper),
+                                    np.asarray(pred.quant)),
+    }
+
+    if run_single:
+        fam = mle_family or spec.kernel1
+        kfit = kriging_mle(fam, x, y, k_single, ard=mle_ard, jitter=jitter)
+        kpred = kriging_predict(fam, x, y, kfit, x_new, alpha=alpha)
+        predictions["single"] = ModelPrediction(np.asarray(kpred.mean),
+                                                np.asarray(kpred.lower),
+                                                np.asarray(kpred.upper))
+    if run_cgp:
+        cfit = cgp_fit(x, y, k_cgp, n_candidates=cgp_candidates)
+        cpred = cgp_predict(cfit, x_new)
+        predictions["cgp"] = ModelPrediction(np.asarray(cpred.mean),
+                                             np.asarray(cpred.lower),
+                                             np.asarray(cpred.upper))
+
+    summary = comparison_summary(np.asarray(y_true), predictions)
+    return StudyResult(summary=summary, fit=fit, predictions=predictions,
+                       y_true=np.asarray(y_true))

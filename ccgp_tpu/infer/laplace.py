@@ -31,6 +31,12 @@ def laplace(logpost_val: Callable, start: jnp.ndarray,
         return -logpost_val(z)
 
     mode, fmin = minimize_bfgs(neg, start, maxiter=maxiter)
+    # BFGS can return NaN when the posterior surface itself NaNs (singular
+    # Grams at extreme parameters); fall back to the user's start so the
+    # chain still has a finite anchor instead of silently sampling nothing.
+    ok = jnp.all(jnp.isfinite(mode))
+    mode = jnp.where(ok, mode, start)
+    fmin = jnp.where(ok, fmin, -logpost_val(start))
     hess = jax.hessian(logpost_val)(mode)
     prec = -hess
     # Symmetrize and clip eigenvalues to positive: if BFGS stalls at a
@@ -38,6 +44,9 @@ def laplace(logpost_val: Callable, start: jnp.ndarray,
     # invalid (non-PSD) proposal covariance and every Metropolis proposal
     # would NaN-reject (the reference would error out inside `laplace`).
     prec = 0.5 * (prec + prec.T)
+    # non-finite Hessian (posterior NaNs nearby) -> identity fallback
+    prec = jnp.where(jnp.all(jnp.isfinite(prec)), prec,
+                     jnp.eye(prec.shape[-1], dtype=prec.dtype))
     w, q = jnp.linalg.eigh(prec)
     w_floor = jnp.maximum(jnp.max(jnp.abs(w)) * 1e-8, 1e-12)
     w = jnp.maximum(w, w_floor)

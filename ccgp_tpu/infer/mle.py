@@ -43,13 +43,20 @@ def kriging_mle(
     n_starts: int = 8,
     log_theta_low: float = -7.0,
     log_theta_high: float = 7.0,
-    jitter: float = 0.0,
+    jitter: float = 1e-10,
     maxiter: int = 100,
 ) -> KrigingMLE:
     """Fit a constant-mean GP with `family` correlation by profile ML.
 
     ard=True fits one rate per input dimension (the mlegp behavior);
     ard=False a single scalar (the reference's 1-D / isotropic fits).
+
+    The search is box-constrained to [log_theta_low, log_theta_high] (tanh
+    reparameterization): an unconstrained line search can step into
+    singular-Gram territory whose NaN value poisons the quasi-Newton state
+    (the reference hits the same failure as an R exception and retries,
+    `1D...Public.R:457-466`). The default diagonal jitter keeps the profile
+    NLL finite over the whole box, so gradients stay clean.
     """
     n, d = x.shape[-2], x.shape[-1]
     k = d if ard else 1
@@ -60,11 +67,16 @@ def kriging_mle(
         chol = linalg.jitter_cholesky(r, jitter)
         return profile_nll(chol, y)
 
-    starts = jax.random.uniform(
-        key, (n_starts, k), minval=log_theta_low, maxval=log_theta_high,
-        dtype=x.dtype,
-    )
-    res = multistart_minimize(nll_of_logtheta, starts, maxiter=maxiter)
+    span = log_theta_high - log_theta_low
+    starts = log_theta_low + span * (
+        (jnp.arange(n_starts, dtype=x.dtype)[:, None] + 0.5) / n_starts
+        + 0.2 * jax.random.uniform(key, (n_starts, k), dtype=x.dtype,
+                                   minval=-1.0, maxval=1.0) / n_starts)
+    starts = jnp.clip(starts, log_theta_low, log_theta_high)
+    res = multistart_minimize(
+        nll_of_logtheta, starts,
+        lower=jnp.full((k,), log_theta_low, x.dtype),
+        upper=jnp.full((k,), log_theta_high, x.dtype), maxiter=maxiter)
     theta = jnp.exp(res.x if ard else res.x[0])
     chol = linalg.jitter_cholesky(family.gram(x, theta), jitter)
     beta = gls_beta(chol, y)

@@ -31,13 +31,35 @@ class MultistartResult(NamedTuple):
 
 
 def _guard(fn):
-    """Make an objective safe for line searches: non-finite -> huge."""
+    """Make an objective safe for quasi-Newton line searches.
 
-    def wrapped(z, *args):
-        v = fn(z, *args)
+    Non-finite values become a large constant AND their gradients become
+    zero: a plain `where` on the value still lets NaN cotangents flow
+    through the non-finite branch and poison the BFGS state (observed on
+    the float32 TPU path, where singular Grams appear earlier than in
+    float64). Implemented as a custom-VJP wrapper so both the primal and
+    the pullback are sanitized.
+    """
+
+    @jax.custom_vjp
+    def safe(z):
+        v = fn(z)
         return jnp.where(jnp.isfinite(v), v, jnp.asarray(1e10, v.dtype))
 
-    return wrapped
+    def fwd(z):
+        v, pullback = jax.vjp(fn, z)
+        ok = jnp.isfinite(v)
+        v = jnp.where(ok, v, jnp.asarray(1e10, v.dtype))
+        return v, (pullback, ok)
+
+    def bwd(res, g):
+        pullback, ok = res
+        (gz,) = pullback(jnp.where(ok, g, jnp.zeros_like(g)))
+        gz = jnp.where(jnp.isfinite(gz), gz, jnp.zeros_like(gz))
+        return (jnp.where(ok, gz, jnp.zeros_like(gz)),)
+
+    safe.defvjp(fwd, bwd)
+    return safe
 
 
 def minimize_bfgs(fn, x0: jnp.ndarray, maxiter: int = 100):

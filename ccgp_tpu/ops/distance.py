@@ -9,7 +9,15 @@ All functions broadcast over leading batch dimensions.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# The inner product MUST run at full float32 precision: the TPU MXU's
+# default bf16 passes introduce ~1e-2 absolute error in squared distances,
+# which destroys the PSD structure of ill-conditioned SE Grams (observed:
+# Cholesky failures on the 100-pt maximin design). HIGHEST costs ~6 bf16
+# passes — negligible at GP sizes, mandatory for correctness.
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def _weighted(x: jnp.ndarray, theta) -> jnp.ndarray:
@@ -25,7 +33,7 @@ def pairwise_sqdist(x: jnp.ndarray, theta=1.0) -> jnp.ndarray:
     """
     xw = _weighted(x, theta)
     sq = jnp.sum(xw * xw, axis=-1)
-    inner = jnp.einsum("...nd,...md->...nm", xw, xw)
+    inner = jnp.einsum("...nd,...md->...nm", xw, xw, precision=_PREC)
     d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * inner
     return jnp.maximum(d2, 0.0)
 
@@ -39,7 +47,7 @@ def cross_sqdist(x: jnp.ndarray, y: jnp.ndarray, theta=1.0) -> jnp.ndarray:
     yw = _weighted(y, theta)
     sqx = jnp.sum(xw * xw, axis=-1)
     sqy = jnp.sum(yw * yw, axis=-1)
-    inner = jnp.einsum("...nd,...md->...nm", xw, yw)
+    inner = jnp.einsum("...nd,...md->...nm", xw, yw, precision=_PREC)
     d2 = sqx[..., :, None] + sqy[..., None, :] - 2.0 * inner
     return jnp.maximum(d2, 0.0)
 

@@ -1,0 +1,73 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccgp_tpu.models import MixtureSpec, InverseGamma
+from ccgp_tpu.ops import kernels
+from ccgp_tpu.parallel import (
+    make_mesh, sharded_hyperpar_scan, multi_chain_metropolis,
+    distributed_train_step,
+)
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _spec():
+    return MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=2)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.shape["dp"] * mesh.shape["mp"] == 8
+
+
+def test_sharded_hyperpar_scan_matches_serial(rng):
+    x = jnp.asarray(rng.uniform(size=(10, 2)))
+    y = jnp.asarray(rng.normal(size=10))
+    grid = np.array([[3.0, 2.0, 5.0, 16.0], [3.0, 1.0, 5.0, 75.0],
+                     [7.0, 3.0, 3.0, 28.0]])
+    mesh = make_mesh(8)
+    pars, likes = sharded_hyperpar_scan(_spec(), x, y, grid, 1.0, mesh,
+                                        n_nodes=64, tau=50.0)
+    from ccgp_tpu.eb import choose_hyperpars
+    serial = choose_hyperpars(_spec(), x, y, grid, 1.0, n_nodes=64, tau=50.0)
+    assert np.allclose(likes, np.asarray(serial.likelihoods), rtol=1e-10)
+    assert np.allclose(pars, np.asarray(serial.pars))
+
+
+def test_multi_chain_sharded(rng):
+    from ccgp_tpu.models import make_logpost
+    x = jnp.asarray(rng.uniform(size=(8, 2)))
+    y = jnp.asarray(rng.normal(size=8))
+    lp = make_logpost(_spec(), x, y, 1.0, theta1_prior=InverseGamma(3, 2),
+                      theta2_prior=InverseGamma(5, 16))
+    mesh = make_mesh(8)
+    starts = jnp.tile(jnp.asarray([0.0, 1.0, 0.0]), (8, 1))
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    res = multi_chain_metropolis(lp, starts, keys, mesh, n_max=200,
+                                 samp_size=100, alpha_geweke=0.9)
+    assert res.samples.shape == (8, 200, 3)
+    assert np.all(np.asarray(res.n_recorded) > 0)
+    # chains are independent: different keys -> different draws
+    assert not np.allclose(np.asarray(res.samples[0]),
+                           np.asarray(res.samples[1]))
+
+
+def test_distributed_train_step(rng):
+    x = jnp.asarray(rng.uniform(size=(8, 2)))
+    y = jnp.asarray(rng.normal(size=8))
+    x_eval = jnp.asarray(rng.uniform(size=(16, 2)))
+    mesh = make_mesh(8)
+    step, make_state = distributed_train_step(
+        _spec(), x, y, x_eval, 1.0, 0.1 * jnp.eye(3), mesh,
+        theta1_prior=InverseGamma(3, 2), theta2_prior=InverseGamma(5, 16))
+    state = make_state(jax.random.PRNGKey(0), 8, jnp.asarray([0.0, 1.0, 0.0]))
+    for _ in range(3):
+        state, metrics = step(state)
+    assert np.isfinite(float(metrics["mean_logpost"]))
+    assert metrics["grid_mean"].shape == (16,)
+    assert 0.0 <= float(metrics["acc_rate"]) <= 1.0
