@@ -34,6 +34,10 @@ def main():
     # float32 needs ~1e-3 relative jitter: the 100-pt SE Gram's smallest
     # eigenvalues sit below the f32 rounding floor (n*eps*lambda_max ~ 6e-4)
     jitter = 1e-3
+    # TPU-first search shape: replace deep sequential quasi-Newton loops
+    # with WIDE batched scans (one batched Cholesky over hundreds of
+    # candidates) + a short vmapped refinement. Sequential depth is what
+    # costs wall-clock on an accelerator, not FLOPs.
 
     try:
         x_np = load_maximin_2d(100)
@@ -48,34 +52,60 @@ def main():
                        dim=2, rough="tied", anisotropic=True)
     fam = kernels.sqexp_family()
 
-    mle_starts = jnp.linspace(-3.0, 5.0, 8, dtype=dtype)[:, None]
-    map_starts = jnp.asarray(
-        [[0.0, 0.0, 0.0, 0.0], [1.0, 1.0, 0.0, 1.0],
-         [2.0, 2.0, 1.0, 0.0], [-1.0, 0.5, -1.0, 1.5]], dtype)
+    # dense log-theta grid for the sigma^2 plug-in (one batched Cholesky)
+    mle_grid = jnp.linspace(-5.0, 6.0, 64, dtype=dtype)
+    # Halton cloud over the 4-D unconstrained MAP box (one batched Cholesky)
+    from ccgp_tpu.eb.halton import halton
+
+    map_cloud = jnp.asarray(
+        halton(512, 4) * np.array([6.0, 6.0, 8.0, 5.0])
+        + np.array([-2.0, -2.0, -4.0, -3.0]), dtype)
 
     def fit_predict(x, y, grid):
-        # 1) plug-in sigma^2: isotropic SE profile-ML, 8 vmapped starts,
-        # box-constrained (an unconstrained search in f32 can ride Cholesky
-        # round-off into a spurious degenerate optimum at theta -> 0)
-        def nll(lt):
-            r = fam.gram(x, jnp.exp(lt[0]))
+        # 1) plug-in sigma^2: profile NLL on a dense batched theta grid +
+        # one parabolic refinement — sequential depth 2 instead of 40
+        def nll_of_lt(lt):
+            r = fam.gram(x, jnp.exp(lt))
             return profile_nll(linalg.jitter_cholesky(r, jitter), y)
 
-        mres = multistart_minimize(nll, mle_starts, maxiter=40,
-                                   lower=jnp.asarray([-5.0], dtype),
-                                   upper=jnp.asarray([6.0], dtype))
-        chol0 = linalg.jitter_cholesky(fam.gram(x, jnp.exp(mres.x[0])), jitter)
+        nlls = jax.vmap(nll_of_lt)(mle_grid)
+        nlls = jnp.where(jnp.isfinite(nlls), nlls, jnp.inf)
+        i = jnp.argmin(nlls)
+        im = jnp.clip(i, 1, mle_grid.shape[0] - 2)
+        f0, f1, f2 = nlls[im - 1], nlls[im], nlls[im + 1]
+        h = mle_grid[1] - mle_grid[0]
+        denom = f0 - 2.0 * f1 + f2
+        shift = jnp.where(jnp.abs(denom) > 1e-12,
+                          0.5 * h * (f0 - f2) / denom, 0.0)
+        lt_opt = mle_grid[im] + jnp.clip(shift, -h, h)
+        chol0 = linalg.jitter_cholesky(fam.gram(x, jnp.exp(lt_opt)), jitter)
         beta0 = gls_beta(chol0, y)
         sigma2 = sigma2_mle(chol0, y, beta0)
 
-        # 2) MAP of the 4-parameter anisotropic posterior, 4 vmapped starts
+        # 2) MAP of the 4-parameter anisotropic posterior: 512-point Halton
+        # sweep (one batched Cholesky) -> top-4 -> short vmapped BFGS polish
         logpost = make_logpost(spec, x, y, sigma2,
                                theta1_prior=LogNormal(-1.0, 1.0),
                                theta2_prior=InverseGamma(3, 4),
                                jitter=jitter)
         neg = lambda z: -logpost(z).val
-        mapres = multistart_minimize(neg, map_starts, maxiter=60)
-        z_map = mapres.x
+        cloud_vals = jax.vmap(neg)(map_cloud)
+        cloud_vals = jnp.where(jnp.isfinite(cloud_vals), cloud_vals, jnp.inf)
+        z_best = map_cloud[jnp.argmin(cloud_vals)]
+
+        # zoom rounds: re-scan a shrinking Halton box around the incumbent —
+        # each round is ONE batched Cholesky (wide, throughput-bound) rather
+        # than a sequential quasi-Newton chain (deep, latency-bound)
+        zoom = jnp.asarray(halton(128, 4, start=17) - 0.5, dtype)
+        widths = (2.0, 0.5, 0.125)
+        for wfac in widths:
+            cand = z_best[None, :] + wfac * zoom
+            vals = jax.vmap(neg)(cand)
+            vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
+            better = vals.min() < neg(z_best)
+            z_cand = cand[jnp.argmin(vals)]
+            z_best = jnp.where(better, z_cand, z_best)
+        z_map = z_best
 
         # 3) predict at the MAP over the lattice
         out = logpost(z_map)

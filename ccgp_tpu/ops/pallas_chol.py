@@ -1,0 +1,201 @@
+"""Pallas fused batched Cholesky + profile-NLL kernel.
+
+Why this kernel exists: the combined-GP workload evaluates thousands of
+*small* (n <= ~128) Gram-matrix likelihoods — hyperparameter grid scans,
+Halton MAP sweeps, per-draw factor rebuilds, EB marginal likelihoods. XLA's
+batched Cholesky for these sizes executes ~n sequential panel steps, each a
+tiny kernel with launch/pipeline overhead; measured on a v5e, 64 batched
+100x100 factorizations cost ~32 ms — ~50x off the FLOP roofline. This
+kernel runs the whole factorization + forward substitutions *inside one
+VMEM-resident program per batch element*: the n-step recurrences become VPU
+register loops with zero per-step overhead, and the batch rides the grid.
+
+Per batch element b (one 128x128 VMEM tile):
+    L    = chol(G[b] + jitter I)            (column-recursive, masked ops)
+    W    = L^{-1} [y, 1]                    (forward substitution)
+    out  = [logdet, y'R^{-1}y, 1'R^{-1}y, 1'R^{-1}1]
+
+from which the GLS intercept, variance MLE, profile NLL and the MVN
+log-likelihood all follow in O(1):
+    beta  = qoy / qoo,  n sigma2_hat = qyy - qoy^2/qoo,
+    NLL   = logdet + n log sigma2_hat.
+
+Padding contract: callers pad Gram matrices to 128 with an identity block
+(log 1 = 0 contributes nothing) and right-hand sides with zeros — handled
+by `chol_quadratics`. Non-PSD inputs surface as NaN outputs (sqrt of a
+negative pivot), matching the framework's NaN-as-rejection convention.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TILE = 128
+
+
+def _chol_nll_kernel(gram_ref, rhs_ref, out_ref):
+    a = gram_ref[0]          # (TILE, TILE)
+    rhs = rhs_ref[0]         # (TILE, 2)
+    dtype = a.dtype
+    n = TILE
+
+    # All recurrences are expressed as MASKED full-tile operations — no
+    # dynamic slicing (dynamic lane indexing is pathological on TPU and the
+    # dynamic-slice formulation stalls the Mosaic compiler). Each step costs
+    # a few (128,128) VPU ops + one matvec; 128 steps run as a tight
+    # register loop with zero launch overhead.
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    rowv = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    colr = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    # every intermediate stays 2-D: Mosaic's vector layouts reject the
+    # 1-D reshapes ("Offset change" lowering errors)
+    def chol_col(j, l_acc):
+        lj = jnp.sum(jnp.where(rows2 == j, l_acc, 0.0), axis=0,
+                     keepdims=True)                               # (1, n)
+        ljm = jnp.where(colr < j, lj, 0.0)
+        ajj = jnp.sum(jnp.where((rows2 == j) & (cols2 == j), a, 0.0))
+        d = jnp.sqrt(ajj - jnp.sum(ljm * ljm))
+        acol = jnp.sum(jnp.where(cols2 == j, a, 0.0), axis=1,
+                       keepdims=True)                             # (n, 1)
+        lv = jnp.dot(l_acc, ljm.T, preferred_element_type=dtype)  # (n, 1)
+        c = (acol - lv) / d
+        newcol = jnp.where(rowv > j, c, jnp.where(rowv == j, d, 0.0))
+        return jnp.where(cols2 == j, newcol, l_acc)
+
+    l = jax.lax.fori_loop(0, n, chol_col, jnp.zeros((n, n), dtype),
+                          unroll=False)
+
+    def fwd_sub(i, w_acc):
+        li = jnp.sum(jnp.where(rows2 == i, l, 0.0), axis=0,
+                     keepdims=True)                               # (1, n)
+        lim = jnp.where(colr < i, li, 0.0)
+        lii = jnp.sum(jnp.where((rows2 == i) & (cols2 == i), l, 0.0))
+        bi = jnp.sum(jnp.where(rowv == i, rhs, 0.0), axis=0,
+                     keepdims=True)                               # (1, 2)
+        liw = jnp.dot(lim, w_acc, preferred_element_type=dtype)   # (1, 2)
+        wi = (bi - liw) / lii
+        return jnp.where(rowv == i, wi, w_acc)
+
+    w = jax.lax.fori_loop(0, n, fwd_sub, jnp.zeros((n, 2), dtype),
+                          unroll=False)
+
+    diag = jnp.sum(jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1),
+        jnp.log(l), 0.0))
+    logdet = 2.0 * diag
+    wy = w[:, 0:1]
+    wo = w[:, 1:2]
+    # pack the four scalars into lanes 0..3 of a (1, 128) output row
+    # (TPU block shapes must be lane-aligned; a (1, 4) block is not)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    row = jnp.where(lane == 0, logdet,
+          jnp.where(lane == 1, jnp.sum(wy * wy),
+          jnp.where(lane == 2, jnp.sum(wy * wo),
+          jnp.where(lane == 3, jnp.sum(wo * wo), 0.0))))
+    out_ref[0] = row
+
+
+def _chol_nll_pallas(grams: jnp.ndarray, rhs: jnp.ndarray,
+                     interpret: bool = False) -> jnp.ndarray:
+    """grams: (B, TILE, TILE); rhs: (B, TILE, 2) -> (B, 4)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = grams.shape[0]
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=8 * 1024 * 1024)
+    out = pl.pallas_call(
+        _chol_nll_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 1, TILE), grams.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, TILE, TILE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, 2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+        **kwargs,
+    )(grams, rhs)
+    return out[:, 0, :4]
+
+
+def _pad_inputs(grams: jnp.ndarray, y: jnp.ndarray, jitter: float):
+    b, n, _ = grams.shape
+    dtype = grams.dtype
+    if jitter:
+        grams = grams + jitter * jnp.eye(n, dtype=dtype)
+    if n > TILE:
+        raise ValueError(f"chol_quadratics supports n <= {TILE}, got {n}")
+    pad = TILE - n
+    if pad:
+        eye_pad = jnp.eye(TILE, dtype=dtype)[n:]
+        grams = jnp.concatenate([
+            jnp.concatenate([grams, jnp.zeros((b, n, pad), dtype)], axis=2),
+            jnp.broadcast_to(eye_pad, (b, pad, TILE)),
+        ], axis=1)
+    rhs = jnp.stack([y, jnp.ones_like(y)], axis=-1)         # (n, 2)
+    rhs = jnp.concatenate([rhs, jnp.zeros((pad, 2), dtype)], axis=0)
+    rhs = jnp.broadcast_to(rhs[None], (b, TILE, 2))
+    return grams, rhs
+
+
+def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
+                    jitter: float = 0.0, use_pallas: bool | None = None,
+                    interpret: bool = False) -> dict:
+    """Batched {logdet, y'R^-1 y, 1'R^-1 y, 1'R^-1 1} for small Grams.
+
+    grams: (B, n, n) with n <= 128; y: (n,).
+
+    use_pallas status (measured on v5e, b=512 of 128x128 f32): the masked
+    full-tile Pallas formulation reaches ~55 us/matrix vs XLA's ~13
+    us/matrix at large batch — XLA's batched Cholesky is throughput-bound
+    and already good there, so the default is the XLA path. The kernel is
+    kept (and tested) as an explicit opt-in; a blocked 8-row formulation
+    that beats XLA's small-batch latency is future work.
+    """
+    if use_pallas is None:
+        use_pallas = False
+    b, n, _ = grams.shape
+    if use_pallas:
+        g, rhs = _pad_inputs(grams, y, jitter)
+        out = _chol_nll_pallas(g, rhs, interpret=interpret)
+        logdet, qyy, qoy, qoo = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
+    else:
+        if jitter:
+            grams = grams + jitter * jnp.eye(n, dtype=grams.dtype)
+        chol = jnp.linalg.cholesky(grams)
+        rhs = jnp.stack([y, jnp.ones_like(y)], axis=-1)
+        rhs = jnp.broadcast_to(rhs[None], (b, n, 2))
+        w = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+        qyy = jnp.sum(w[..., 0] * w[..., 0], axis=-1)
+        qoy = jnp.sum(w[..., 0] * w[..., 1], axis=-1)
+        qoo = jnp.sum(w[..., 1] * w[..., 1], axis=-1)
+    return {"logdet": logdet, "qyy": qyy, "qoy": qoy, "qoo": qoo}
+
+
+def profile_nll_from_quadratics(q: dict, n: int) -> jnp.ndarray:
+    """log det R + n log sigma2_hat from the quadratic summary."""
+    beta = q["qoy"] / q["qoo"]
+    n_sigma2 = q["qyy"] - beta * q["qoy"]
+    return q["logdet"] + n * jnp.log(n_sigma2 / n)
+
+
+def mvn_nll_from_quadratics(q: dict, n: int, log_scale) -> jnp.ndarray:
+    """-2 log N(y; beta_hat 1, e^{log_scale} R) + const, per batch element:
+    the transformed-posterior likelihood core (beta profiled)."""
+    beta = q["qoy"] / q["qoo"]
+    quad = (q["qyy"] - beta * q["qoy"]) * jnp.exp(-log_scale)
+    return q["logdet"] + n * log_scale + quad
