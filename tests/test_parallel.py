@@ -57,6 +57,33 @@ def test_multi_chain_sharded(rng):
                            np.asarray(res.samples[1]))
 
 
+def test_sharded_design_sweep(rng):
+    """The 100-design simulation-study axis: one kriging fit per design,
+    designs sharded over the mesh."""
+    from ccgp_tpu.parallel import sharded_design_sweep
+    from ccgp_tpu.infer import kriging_mle
+    from ccgp_tpu.eval.functions import test_function_2d
+
+    mesh = make_mesh(8)
+    designs = jnp.asarray(rng.uniform(size=(10, 9, 2)))  # 10 designs, pad->16
+
+    def fit_one(design, key):
+        y = test_function_2d(design, 3)
+        fit = kriging_mle(kernels.sqexp_family(), design, y, key,
+                          n_starts=4, maxiter=30)
+        return fit.sigma2, fit.theta
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 10)
+    s2, th = sharded_design_sweep(fit_one, designs, keys, mesh)
+    assert s2.shape == (10,)
+    assert np.all(np.isfinite(np.asarray(s2)))
+    # spot-check one lane against a direct fit
+    y3 = test_function_2d(designs[3], 3)
+    direct = kriging_mle(kernels.sqexp_family(), designs[3], y3, keys[3],
+                         n_starts=4, maxiter=30)
+    assert np.isclose(float(s2[3]), float(direct.sigma2), rtol=1e-8)
+
+
 def test_distributed_train_step(rng):
     x = jnp.asarray(rng.uniform(size=(8, 2)))
     y = jnp.asarray(rng.normal(size=8))
