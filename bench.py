@@ -52,14 +52,17 @@ def main():
                        dim=2, rough="tied", anisotropic=True)
     fam = kernels.sqexp_family()
 
+    # Closure constants are kept as HOST numpy arrays: closing a jitted
+    # function over a *device* array permanently degrades every subsequent
+    # dispatch in the process to ~30 ms on the axon runtime (measured;
+    # numpy constants are embedded at compile time and avoid it).
     # dense log-theta grid for the sigma^2 plug-in (one batched Cholesky)
-    mle_grid = jnp.linspace(-5.0, 6.0, 64, dtype=dtype)
+    mle_grid = np.linspace(-5.0, 6.0, 64, dtype=np.float32)
     # Halton cloud over the 4-D unconstrained MAP box (one batched Cholesky)
     from ccgp_tpu.eb.halton import halton
 
-    map_cloud = jnp.asarray(
-        halton(512, 4) * np.array([6.0, 6.0, 8.0, 5.0])
-        + np.array([-2.0, -2.0, -4.0, -3.0]), dtype)
+    map_cloud = (halton(512, 4) * np.array([6.0, 6.0, 8.0, 5.0])
+                 + np.array([-2.0, -2.0, -4.0, -3.0])).astype(np.float32)
 
     def fit_predict(x, y, grid):
         # 1) plug-in sigma^2: profile NLL on a dense batched theta grid +
@@ -96,7 +99,7 @@ def main():
         # zoom rounds: re-scan a shrinking Halton box around the incumbent —
         # each round is ONE batched Cholesky (wide, throughput-bound) rather
         # than a sequential quasi-Newton chain (deep, latency-bound)
-        zoom = jnp.asarray(halton(128, 4, start=17) - 0.5, dtype)
+        zoom = (halton(128, 4, start=17) - 0.5).astype(np.float32)
         widths = (2.0, 0.5, 0.125)
         for wfac in widths:
             cand = z_best[None, :] + wfac * zoom

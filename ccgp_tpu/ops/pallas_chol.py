@@ -101,8 +101,88 @@ def _chol_nll_kernel(gram_ref, rhs_ref, out_ref):
     out_ref[0] = row
 
 
+def _chol_nll_kernel_blocked(gram_ref, rhs_ref, out_ref):
+    """Blocked (8-row panel) formulation with fully static indices.
+
+    The outer 16-panel loop and the 8 within-panel steps are unrolled at
+    trace time, so every slice is static — no dynamic lane/sublane indexing
+    (which Mosaic either rejects or lowers pathologically) and no
+    per-iteration masks. Panel updates ride the MXU; the in-panel
+    recurrence touches only a (TILE, 8) slab.
+    """
+    a = gram_ref[0]
+    rhs = rhs_ref[0]
+    dtype = a.dtype
+    n = TILE
+    nb = 8
+    n_panels = n // nb
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    cols = []          # finished L columns, each (n, 1)
+    diag_vals = []     # L[j, j] scalars in order
+    for k in range(n_panels):
+        r0 = k * nb
+        slab = a[:, r0:r0 + nb]                         # (n, nb)
+        if k:
+            prev = jnp.concatenate(cols, axis=1)        # (n, r0)
+            prev_rows = prev[r0:r0 + nb, :]             # (nb, r0)
+            slab = slab - jnp.dot(prev, prev_rows.T,
+                                  preferred_element_type=dtype)
+        for j in range(nb):
+            p = r0 + j
+            d = jnp.sqrt(slab[p, j])
+            col = slab[:, j:j + 1] / d
+            col = jnp.where(row_idx > p, col,
+                            jnp.where(row_idx == p, d, 0.0))
+            # rank-1 update of the remaining panel columns
+            if j + 1 < nb:
+                pivots = col[r0 + j + 1:r0 + nb, 0]      # static gather (nb-j-1,)
+                upd = col * pivots[None, :]              # (n, nb-j-1)
+                slab = jnp.concatenate(
+                    [slab[:, :j + 1], slab[:, j + 1:] - upd], axis=1)
+            cols.append(col)
+            diag_vals.append(d)
+
+    l = jnp.concatenate(cols, axis=1)                    # (n, n)
+
+    # blocked forward substitution for rhs (n, 2)
+    w_parts = []
+    for k in range(n_panels):
+        r0 = k * nb
+        b = rhs[r0:r0 + nb, :]                           # (nb, 2)
+        if k:
+            w_prev = jnp.concatenate(w_parts, axis=0)    # (r0, 2)
+            b = b - jnp.dot(l[r0:r0 + nb, :r0], w_prev,
+                            preferred_element_type=dtype)
+        wk_rows = []
+        for j in range(nb):
+            p = r0 + j
+            if j:
+                wk = jnp.concatenate(wk_rows, axis=0)    # (j, 2)
+                lrow = l[p:p + 1, r0:r0 + j]             # (1, j)
+                acc = jnp.dot(lrow, wk, preferred_element_type=dtype)
+            else:
+                acc = jnp.zeros((1, 2), dtype)
+            wj = (b[j:j + 1, :] - acc) / l[p, p]
+            wk_rows.append(wj)
+        w_parts.append(jnp.concatenate(wk_rows, axis=0))
+    w = jnp.concatenate(w_parts, axis=0)                 # (n, 2)
+
+    logdet = 2.0 * sum(jnp.log(d) for d in diag_vals)
+    wy = w[:, 0:1]
+    wo = w[:, 1:2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    row = jnp.where(lane == 0, logdet,
+          jnp.where(lane == 1, jnp.sum(wy * wy),
+          jnp.where(lane == 2, jnp.sum(wy * wo),
+          jnp.where(lane == 3, jnp.sum(wo * wo), 0.0))))
+    out_ref[0] = row
+
+
 def _chol_nll_pallas(grams: jnp.ndarray, rhs: jnp.ndarray,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     blocked: bool = True) -> jnp.ndarray:
     """grams: (B, TILE, TILE); rhs: (B, TILE, 2) -> (B, 4)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -113,7 +193,7 @@ def _chol_nll_pallas(grams: jnp.ndarray, rhs: jnp.ndarray,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=8 * 1024 * 1024)
     out = pl.pallas_call(
-        _chol_nll_kernel,
+        _chol_nll_kernel_blocked if blocked else _chol_nll_kernel,
         out_shape=jax.ShapeDtypeStruct((b, 1, TILE), grams.dtype),
         grid=(b,),
         in_specs=[
