@@ -39,14 +39,26 @@ def main():
     # candidates) + a short vmapped refinement. Sequential depth is what
     # costs wall-clock on an accelerator, not FLOPs.
 
+    # CRITICAL axon-runtime constraint (measured): ANY device->host fetch
+    # (np.asarray on a device array, or jit-closing over a device buffer)
+    # permanently degrades every subsequent dispatch in the process by
+    # ~30 ms. Therefore: y/y_true are computed HOST-side in numpy, and no
+    # result is fetched until all timed runs are done.
+    def f2_np(xy):
+        a, b = xy[:, 0], xy[:, 1]
+        return (((a - 0.2) ** 2 - (b - 0.7) ** 2)
+                * np.exp(-5 * ((a - 0.8) ** 2 + (b - 0.1) ** 2))
+                * np.cos(10 * (a - 0.5) * b))
+
     try:
         x_np = load_maximin_2d(100)
     except FileNotFoundError:
         x_np = np.random.default_rng(0).uniform(size=(100, 2))
     x = jnp.asarray(x_np, dtype)
-    y = jnp.asarray(np.asarray(test_function_2d(jnp.asarray(x_np), 2)), dtype)
+    y = jnp.asarray(f2_np(x_np), dtype)
     u = np.linspace(0, 1, 25)
-    grid = jnp.asarray(np.stack(np.meshgrid(u, u), -1).reshape(-1, 2), dtype)
+    grid_np = np.stack(np.meshgrid(u, u), -1).reshape(-1, 2)
+    grid = jnp.asarray(grid_np, dtype)
 
     spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
                        dim=2, rough="tied", anisotropic=True)
@@ -65,22 +77,27 @@ def main():
                  + np.array([-2.0, -2.0, -4.0, -3.0])).astype(np.float32)
 
     def fit_predict(x, y, grid):
+        # constants converted to jnp INSIDE the trace: they lower to HLO
+        # literals (no captured device buffers -> no axon dispatch penalty)
+        mg = jnp.asarray(mle_grid)
+        cloud = jnp.asarray(map_cloud)
+
         # 1) plug-in sigma^2: profile NLL on a dense batched theta grid +
         # one parabolic refinement — sequential depth 2 instead of 40
         def nll_of_lt(lt):
             r = fam.gram(x, jnp.exp(lt))
             return profile_nll(linalg.jitter_cholesky(r, jitter), y)
 
-        nlls = jax.vmap(nll_of_lt)(mle_grid)
+        nlls = jax.vmap(nll_of_lt)(mg)
         nlls = jnp.where(jnp.isfinite(nlls), nlls, jnp.inf)
         i = jnp.argmin(nlls)
-        im = jnp.clip(i, 1, mle_grid.shape[0] - 2)
+        im = jnp.clip(i, 1, mg.shape[0] - 2)
         f0, f1, f2 = nlls[im - 1], nlls[im], nlls[im + 1]
-        h = mle_grid[1] - mle_grid[0]
+        h = mg[1] - mg[0]
         denom = f0 - 2.0 * f1 + f2
         shift = jnp.where(jnp.abs(denom) > 1e-12,
                           0.5 * h * (f0 - f2) / denom, 0.0)
-        lt_opt = mle_grid[im] + jnp.clip(shift, -h, h)
+        lt_opt = mg[im] + jnp.clip(shift, -h, h)
         chol0 = linalg.jitter_cholesky(fam.gram(x, jnp.exp(lt_opt)), jitter)
         beta0 = gls_beta(chol0, y)
         sigma2 = sigma2_mle(chol0, y, beta0)
@@ -92,9 +109,9 @@ def main():
                                theta2_prior=InverseGamma(3, 4),
                                jitter=jitter)
         neg = lambda z: -logpost(z).val
-        cloud_vals = jax.vmap(neg)(map_cloud)
+        cloud_vals = jax.vmap(neg)(cloud)
         cloud_vals = jnp.where(jnp.isfinite(cloud_vals), cloud_vals, jnp.inf)
-        z_best = map_cloud[jnp.argmin(cloud_vals)]
+        z_best = cloud[jnp.argmin(cloud_vals)]
 
         # zoom rounds: re-scan a shrinking Halton box around the incumbent —
         # each round is ONE batched Cholesky (wide, throughput-bound) rather
@@ -125,20 +142,32 @@ def main():
 
     fit_predict_j = jax.jit(fit_predict)
 
-    # warmup (compile)
+    # warmup (compile) — block, but do NOT fetch (fetching poisons dispatch)
     mean, var, z_map, s2 = jax.block_until_ready(fit_predict_j(x, y, grid))
-    assert np.isfinite(np.asarray(mean)).all()
 
-    times = []
-    for _ in range(10):
+    # Timing protocol for this runtime: block_until_ready does not truly
+    # synchronize unless a fetch happens, and the first fetch adds a
+    # permanent ~30 ms dispatch penalty. So: run k1 and k2 back-to-back
+    # executions, each batch closed by fetching ONE scalar of the last
+    # result (a real synchronization), and report the slope
+    # (T2-T1)/(k2-k1) — all fixed costs (fetch, dispatch, sync) cancel.
+    def run_batch(k):
         t0 = time.perf_counter()
-        jax.block_until_ready(fit_predict_j(x, y, grid))
-        times.append(time.perf_counter() - t0)
-    ms = float(np.median(times) * 1e3)
+        out = None
+        for _ in range(k):
+            out = fit_predict_j(x, y, grid)
+        float(out[3])  # scalar fetch = true device sync
+        return time.perf_counter() - t0
 
-    # accuracy sanity: RMSPE on the lattice must be small (guards against
-    # "fast but wrong")
-    y_true = np.asarray(test_function_2d(grid, 2))
+    run_batch(2)  # absorb the one-time fetch penalty before measuring
+    k1, k2 = 4, 24
+    t_small = min(run_batch(k1) for _ in range(3))
+    t_large = min(run_batch(k2) for _ in range(3))
+    ms = float((t_large - t_small) / (k2 - k1) * 1e3)
+
+    # AFTER timing: fetch and run the accuracy guard (fast-but-wrong check)
+    assert np.isfinite(np.asarray(mean)).all()
+    y_true = f2_np(grid_np)
     rmspe = float(np.sqrt(np.mean((y_true - np.asarray(mean)) ** 2)))
 
     print(json.dumps({
