@@ -69,11 +69,11 @@ def main():
     # dispatch in the process to ~30 ms on the axon runtime (measured;
     # numpy constants are embedded at compile time and avoid it).
     # dense log-theta grid for the sigma^2 plug-in (one batched Cholesky)
-    mle_grid = np.linspace(-5.0, 6.0, 64, dtype=np.float32)
+    mle_grid = np.linspace(-5.0, 6.0, 32, dtype=np.float32)
     # Halton cloud over the 4-D unconstrained MAP box (one batched Cholesky)
     from ccgp_tpu.eb.halton import halton
 
-    map_cloud = (halton(512, 4) * np.array([6.0, 6.0, 8.0, 5.0])
+    map_cloud = (halton(256, 4) * np.array([6.0, 6.0, 8.0, 5.0])
                  + np.array([-2.0, -2.0, -4.0, -3.0])).astype(np.float32)
 
     def fit_predict(x, y, grid):
@@ -116,8 +116,8 @@ def main():
         # zoom rounds: re-scan a shrinking Halton box around the incumbent —
         # each round is ONE batched Cholesky (wide, throughput-bound) rather
         # than a sequential quasi-Newton chain (deep, latency-bound)
-        zoom = (halton(128, 4, start=17) - 0.5).astype(np.float32)
-        widths = (2.0, 0.5, 0.125)
+        zoom = (halton(96, 4, start=17) - 0.5).astype(np.float32)
+        widths = (2.0, 0.4)
         for wfac in widths:
             cand = z_best[None, :] + wfac * zoom
             vals = jax.vmap(neg)(cand)
