@@ -23,10 +23,8 @@ def main():
     import jax.numpy as jnp
 
     from ccgp_tpu.eval.datasets import load_maximin_2d
-    from ccgp_tpu.eval.functions import test_function_2d
-    from ccgp_tpu.infer.optim import multistart_minimize
     from ccgp_tpu.models import MixtureSpec, InverseGamma, LogNormal, make_logpost
-    from ccgp_tpu.models.combination import unpack, mixed_gram, mixed_cross
+    from ccgp_tpu.models.combination import unpack, mixed_cross
     from ccgp_tpu.ops import kernels, linalg
     from ccgp_tpu.ops.gp import gls_beta, sigma2_mle, profile_nll
 

@@ -20,7 +20,6 @@ embarrassingly parallel in both axes.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -8,7 +8,6 @@ produce the RMSPE / coverage / calibration table.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import jax

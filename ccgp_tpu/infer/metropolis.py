@@ -28,7 +28,6 @@ memory traffic.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -16,7 +16,7 @@ draws, and multiple chains vmap.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import jax

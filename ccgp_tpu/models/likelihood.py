@@ -15,7 +15,7 @@ dataflow that the Metropolis kernel treats as a rejection.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+from typing import NamedTuple
 
 import jax.numpy as jnp
 

@@ -14,7 +14,6 @@ All functions broadcast over leading batch dimensions (vmap-compatible).
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 

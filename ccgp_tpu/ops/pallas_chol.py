@@ -27,8 +27,6 @@ negative pivot), matching the framework's NaN-as-rejection convention.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

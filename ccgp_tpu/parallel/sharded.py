@@ -6,7 +6,6 @@ functions run unsharded on one chip.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -17,10 +16,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ccgp_tpu.eb.halton import halton
 from ccgp_tpu.eb.hyperpriors import marginal_likelihood
 from ccgp_tpu.infer.metropolis import metropolis
-from ccgp_tpu.models.combination import MixtureSpec, MixParams, unpack, mixed_gram, mixed_cross, mix_weights
+from ccgp_tpu.models.combination import MixtureSpec, unpack, mixed_gram, mixed_cross
 from ccgp_tpu.ops import linalg
 from ccgp_tpu.ops.gp import gls_beta
-from ccgp_tpu.utils import stats
 
 
 def _pad_to(arr: jnp.ndarray, mult: int):
@@ -145,7 +143,6 @@ def distributed_train_step(
                            theta2_prior=theta2_prior, jitter=jitter)
     dp_shard = NamedSharding(mesh, P("dp"))
     mp_shard = NamedSharding(mesh, P("mp"))
-    rep = NamedSharding(mesh, P())
 
     x_eval = jax.device_put(x_eval, mp_shard)
 

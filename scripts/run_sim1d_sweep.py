@@ -34,7 +34,6 @@ def main():
     import jax.numpy as jnp
 
     from ccgp_tpu.eval.datasets import load_1d_designs
-    from ccgp_tpu.infer.laplace import laplace
     from ccgp_tpu.infer.metropolis import metropolis
     from ccgp_tpu.models import MixtureSpec, InverseGamma, make_logpost
     from ccgp_tpu.ops import kernels, linalg
