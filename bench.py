@@ -2,11 +2,15 @@
 reference's 100-pt maximin design (the BASELINE.json north-star workload;
 target < 50 ms end-to-end on one TPU v5e chip).
 
-"fit" = plug-in sigma^2 profile-ML (multistart BFGS) + MAP estimation of the
-4 transformed hyperparameters (psi1, psi2, phi, zeta) by multistart BFGS on
-the exact log-posterior; "predict" = posterior-predictive mean/variance at
-the MAP on a 25x25 lattice. Everything is one jitted program; timing is the
-median of repeated post-warmup runs.
+"fit" = plug-in sigma^2 profile-ML (dense batched log-theta grid +
+parabolic refinement) + MAP estimation of the 4 transformed hyperparameters
+(psi1, psi2, phi, zeta) by a batched Halton sweep with shrinking zoom
+re-scans over the exact log-posterior; "predict" = posterior-predictive
+mean/variance at the MAP on a 25x25 lattice. Everything is ONE jitted
+program whose stages are all wide batched Cholesky evaluations
+(throughput-bound) rather than sequential quasi-Newton chains
+(latency-bound). Timing is the slope between fetch-closed 4-run and 24-run
+batches (see the axon runtime notes inline), with an accuracy guard.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

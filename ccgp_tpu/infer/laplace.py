@@ -48,7 +48,12 @@ def laplace(logpost_val: Callable, start: jnp.ndarray,
     prec = jnp.where(jnp.all(jnp.isfinite(prec)), prec,
                      jnp.eye(prec.shape[-1], dtype=prec.dtype))
     w, q = jnp.linalg.eigh(prec)
-    w_floor = jnp.maximum(jnp.max(jnp.abs(w)) * 1e-8, 1e-12)
+    # Cap the covariance condition number at 1e4: a nearly-flat Hessian
+    # direction (BFGS stalling short of the mode) would otherwise give the
+    # random-walk proposal an absurdly wide axis and collapse the
+    # acceptance rate to ~0 (observed on the 9-D ground-vibrations n=90
+    # posterior). Well-conditioned fits are unaffected.
+    w_floor = jnp.maximum(jnp.max(jnp.abs(w)) * 1e-4, 1e-12)
     w = jnp.maximum(w, w_floor)
     cov = (q / w) @ q.T
     return LaplaceFit(mode=mode, cov=cov, logpost=-fmin)

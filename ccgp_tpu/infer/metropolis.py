@@ -50,12 +50,18 @@ class MetropolisResult(NamedTuple):
 
     def retained(self, samp_size: int):
         """Last `samp_size` recorded draws — the reference's
-        `samp[(k-samp.size):(k-1)]` slice (`1D...Public.R:717`)."""
-        start = self.n_recorded - samp_size
-        zs = jax.lax.dynamic_slice_in_dim(self.samples, start, samp_size)
-        bs = jax.lax.dynamic_slice_in_dim(self.betas, start, samp_size)
-        ls = jax.lax.dynamic_slice_in_dim(self.logposts, start, samp_size)
-        return zs, bs, ls
+        `samp[(k-samp.size):(k-1)]` slice (`1D...Public.R:717`).
+
+        If the chain recorded fewer than `samp_size` draws (it hit the
+        proposal cap without converging), indices clamp into the recorded
+        range so the window repeats real draws instead of returning
+        uninitialized buffer rows; `converged`/`n_recorded` flag the
+        degenerate case to callers.
+        """
+        hi = jnp.maximum(self.n_recorded - 1, 0)
+        idx = jnp.clip(self.n_recorded - samp_size + jnp.arange(samp_size),
+                       0, hi)
+        return self.samples[idx], self.betas[idx], self.logposts[idx]
 
 
 def metropolis(
