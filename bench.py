@@ -171,6 +171,8 @@ def main():
     assert np.isfinite(np.asarray(mean)).all()
     y_true = f2_np(grid_np)
     rmspe = float(np.sqrt(np.mean((y_true - np.asarray(mean)) ** 2)))
+    # function 2's range is ~[-0.3, 0.4]; a correct fit sits near 0.005
+    assert rmspe < 0.02, f"accuracy regression: rmspe={rmspe}"
 
     print(json.dumps({
         "metric": "fit_predict_2d_aniso_100pt_maximin",
