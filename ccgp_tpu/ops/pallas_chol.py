@@ -1,14 +1,19 @@
-"""Pallas fused batched Cholesky + profile-NLL kernel.
+"""Pallas fused batched Cholesky + profile-NLL kernel (experimental).
 
-Why this kernel exists: the combined-GP workload evaluates thousands of
-*small* (n <= ~128) Gram-matrix likelihoods — hyperparameter grid scans,
-Halton MAP sweeps, per-draw factor rebuilds, EB marginal likelihoods. XLA's
-batched Cholesky for these sizes executes ~n sequential panel steps, each a
-tiny kernel with launch/pipeline overhead; measured on a v5e, 64 batched
-100x100 factorizations cost ~32 ms — ~50x off the FLOP roofline. This
-kernel runs the whole factorization + forward substitutions *inside one
-VMEM-resident program per batch element*: the n-step recurrences become VPU
-register loops with zero per-step overhead, and the batch rides the grid.
+The combined-GP workload evaluates thousands of *small* (n <= ~128)
+Gram-matrix likelihoods — hyperparameter grid scans, Halton MAP sweeps,
+per-draw factor rebuilds, EB marginal likelihoods. This kernel fuses the
+whole factorization + forward substitutions + quadratic reductions into one
+VMEM-resident program per batch element.
+
+MEASURED VERDICT (v5e, f32, 128x128, fetch-clean slope timing): XLA's
+batched Cholesky+solve runs at ~13 us/matrix at every batch size; the
+blocked kernel below reaches ~71 us/matrix and the masked variant ~55.
+XLA wins by ~5x at these shapes, so `chol_quadratics` defaults to the XLA
+path — the kernels are kept as a validated exploration baseline (and
+because the fused single-output form halves result traffic when only the
+four scalars are needed). Earlier figures suggesting XLA was 50x off
+roofline were artifacts of an axon dispatch-poisoning bug (see bench.py).
 
 Per batch element b (one 128x128 VMEM tile):
     L    = chol(G[b] + jitter I)            (column-recursive, masked ops)
