@@ -28,9 +28,11 @@ def main():
 
     from ccgp_tpu.eval.datasets import load_maximin_2d
     from ccgp_tpu.models import MixtureSpec, InverseGamma, LogNormal, make_logpost
-    from ccgp_tpu.models.combination import unpack, mixed_cross
+    from ccgp_tpu.models.combination import unpack, mixed_cross, mixed_gram
     from ccgp_tpu.ops import kernels, linalg
-    from ccgp_tpu.ops.gp import gls_beta, sigma2_mle, profile_nll
+    from ccgp_tpu.ops.gp import gls_beta, sigma2_mle
+    from ccgp_tpu.ops.pallas_chol import (
+        chol_quadratics, profile_nll_from_quadratics, mvn_nll_from_quadratics)
 
     dtype = jnp.float32
     # float32 needs ~1e-3 relative jitter: the 100-pt SE Gram's smallest
@@ -78,6 +80,9 @@ def main():
     map_cloud = (halton(256, 4) * np.array([6.0, 6.0, 8.0, 5.0])
                  + np.array([-2.0, -2.0, -4.0, -3.0])).astype(np.float32)
 
+    n_train = 100
+    log2pi = float(np.log(2.0 * np.pi))
+
     def fit_predict(x, y, grid):
         # constants converted to jnp INSIDE the trace: they lower to HLO
         # literals (no captured device buffers -> no axon dispatch penalty)
@@ -85,12 +90,13 @@ def main():
         cloud = jnp.asarray(map_cloud)
 
         # 1) plug-in sigma^2: profile NLL on a dense batched theta grid +
-        # one parabolic refinement — sequential depth 2 instead of 40
-        def nll_of_lt(lt):
-            r = fam.gram(x, jnp.exp(lt))
-            return profile_nll(linalg.jitter_cholesky(r, jitter), y)
-
-        nlls = jax.vmap(nll_of_lt)(mg)
+        # one parabolic refinement — sequential depth 2 instead of 40.
+        # All batched likelihood scans below run through chol_quadratics,
+        # which on TPU dispatches the lane-batched Pallas kernel
+        # (ops/pallas_chol_lanes: ~9.2 vs XLA's ~13.5 us/matrix).
+        grams0 = jax.vmap(lambda lt: fam.gram(x, jnp.exp(lt)))(mg)
+        q0 = chol_quadratics(grams0, y, jitter=jitter)
+        nlls = profile_nll_from_quadratics(q0, n_train)
         nlls = jnp.where(jnp.isfinite(nlls), nlls, jnp.inf)
         i = jnp.argmin(nlls)
         im = jnp.clip(i, 1, mg.shape[0] - 2)
@@ -110,10 +116,27 @@ def main():
                                theta1_prior=LogNormal(-1.0, 1.0),
                                theta2_prior=InverseGamma(3, 4),
                                jitter=jitter)
-        neg = lambda z: -logpost(z).val
-        cloud_vals = jax.vmap(neg)(cloud)
-        cloud_vals = jnp.where(jnp.isfinite(cloud_vals), cloud_vals, jnp.inf)
-        z_best = cloud[jnp.argmin(cloud_vals)]
+
+        ln_prior = LogNormal(-1.0, 1.0)
+        ig_prior = InverseGamma(3, 4)
+
+        def batched_neg_logpost(zs):
+            params, log_jac = jax.vmap(lambda z: unpack(spec, z))(zs)
+            grams = jax.vmap(lambda p: mixed_gram(spec, x, p))(params)
+            q = chol_quadratics(grams, y, jitter=jitter)
+            s2mix = params.p ** 2 + (1.0 - params.p) ** 2
+            core = mvn_nll_from_quadratics(q, n_train,
+                                           jnp.log(s2mix * sigma2))
+            loglike = -0.5 * (core + n_train * log2pi)
+            lp = (loglike + log_jac
+                  + jnp.sum(ln_prior.log_kernel(params.theta1), axis=-1)
+                  + ig_prior.log_kernel(params.theta2))
+            return jnp.where(jnp.isfinite(lp), -lp, jnp.inf)
+
+        cloud_vals = batched_neg_logpost(cloud)
+        best_i = jnp.argmin(cloud_vals)
+        z_best = cloud[best_i]
+        v_best = cloud_vals[best_i]
 
         # zoom rounds: re-scan a shrinking Halton box around the incumbent —
         # each round is ONE batched Cholesky (wide, throughput-bound) rather
@@ -122,11 +145,11 @@ def main():
         widths = (2.0, 0.4)
         for wfac in widths:
             cand = z_best[None, :] + wfac * zoom
-            vals = jax.vmap(neg)(cand)
-            vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
-            better = vals.min() < neg(z_best)
-            z_cand = cand[jnp.argmin(vals)]
-            z_best = jnp.where(better, z_cand, z_best)
+            vals = batched_neg_logpost(cand)
+            i = jnp.argmin(vals)
+            better = vals[i] < v_best
+            z_best = jnp.where(better, cand[i], z_best)
+            v_best = jnp.where(better, vals[i], v_best)
         z_map = z_best
 
         # 3) predict at the MAP over the lattice

@@ -240,14 +240,19 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
 
     grams: (B, n, n) with n <= 128; y: (n,).
 
-    use_pallas status (measured on v5e, b=512 of 128x128 f32): the masked
-    full-tile Pallas formulation reaches ~55 us/matrix vs XLA's ~13
-    us/matrix at large batch — XLA's batched Cholesky is throughput-bound
-    and already good there, so the default is the XLA path. The kernel is
-    kept (and tested) as an explicit opt-in; a blocked 8-row formulation
-    that beats XLA's small-batch latency is future work.
+    Backend selection (all numbers fetch-clean slope timings on v5e, f32,
+    128x128): XLA's batched Cholesky+solve runs ~13.5 us/matrix; the
+    per-matrix Pallas kernels in this module reach only ~55-71 us/matrix;
+    the LANE-BATCHED kernel (pallas_chol_lanes, batch across VPU lanes)
+    reaches ~9.2 us/matrix. Default (use_pallas=None): the lanes kernel on
+    TPU for batches >= 128, XLA otherwise. use_pallas=True forces this
+    module's per-matrix kernel (kept as a tested exploration baseline).
     """
     if use_pallas is None:
+        if jax.default_backend() == "tpu" and grams.shape[0] >= 64:
+            from ccgp_tpu.ops.pallas_chol_lanes import chol_quadratics_lanes
+
+            return chol_quadratics_lanes(grams, y, jitter=jitter)
         use_pallas = False
     b, n, _ = grams.shape
     if use_pallas:

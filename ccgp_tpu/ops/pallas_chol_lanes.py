@@ -49,8 +49,14 @@ def _kernel(gram_ref, ry_ref, ro_ref, out_ref):
     iidx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)        # 2-D rows
     kidx0 = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)    # 3-D axis0
 
-    def chol_step(j, carry):
-        a, logdet = carry
+    # Factorization and forward substitution FUSED: substitution step j
+    # consumes exactly L's column j, which is what factorization step j
+    # just produced — fusing avoids re-extracting every column from the
+    # (n, n, B) block in a second loop (halves the masked-scan traffic).
+    # The rhs lives as two clean (n, B) arrays: an (n, 2, B) block has a
+    # 2-sublane tile whose offset layout Mosaic's reductions reject.
+    def step(j, carry):
+        a, logdet, ry, ro, wy, wo = carry
         cj = jnp.sum(jnp.where(kidx0 == j, a, 0.0), axis=0)       # (n, B)
         dj2 = jnp.sum(jnp.where(iidx == j, cj, 0.0), axis=0,
                       keepdims=True)                              # (1, B)
@@ -60,36 +66,24 @@ def _kernel(gram_ref, ry_ref, ro_ref, out_ref):
         a = jnp.where(kidx0 == j, col[None, :, :],
                       jnp.where(kidx0 > j, a - upd, a))
         logdet = logdet + 2.0 * jnp.log(d)
-        return a, logdet
-
-    a, logdet = jax.lax.fori_loop(
-        0, n, chol_step, (a, jnp.zeros((1, TILE_B), dtype)), unroll=False)
-
-    # forward substitution: w = L^{-1} [y, 1], carried as two clean
-    # (n, B) arrays (an (n, 2, B) block has a 2-sublane tile whose offset
-    # layout Mosaic's reductions reject)
-    def fwd_step(j, carry):
-        ry, ro, wy, wo = carry                          # each (n, B)
-        lcol = jnp.sum(jnp.where(kidx0 == j, a, 0.0), axis=0)     # (n, B)
-        ljj = jnp.sum(jnp.where(iidx == j, lcol, 0.0), axis=0,
-                      keepdims=True)                              # (1, B)
+        # forward substitution with L[:, j] = col (L[j, j] = d)
         rjy = jnp.sum(jnp.where(iidx == j, ry, 0.0), axis=0,
                       keepdims=True)
         rjo = jnp.sum(jnp.where(iidx == j, ro, 0.0), axis=0,
                       keepdims=True)
-        wjy = rjy / ljj
-        wjo = rjo / ljj
+        wjy = rjy / d
+        wjo = rjo / d
         wy = jnp.where(iidx == j, wjy, wy)
         wo = jnp.where(iidx == j, wjo, wo)
-        # r[i] -= L[i, j] * w[j] for i > j (mask via the column's zeros)
-        lmask = jnp.where(iidx > j, lcol, 0.0)                    # (n, B)
+        lmask = jnp.where(iidx > j, col, 0.0)                     # (n, B)
         ry = ry - lmask * wjy
         ro = ro - lmask * wjo
-        return ry, ro, wy, wo
+        return a, logdet, ry, ro, wy, wo
 
-    _, _, wy, wo = jax.lax.fori_loop(
-        0, n, fwd_step,
-        (ry0, ro0, jnp.zeros_like(ry0), jnp.zeros_like(ro0)),
+    a, logdet, _, _, wy, wo = jax.lax.fori_loop(
+        0, n, step,
+        (a, jnp.zeros((1, TILE_B), dtype), ry0, ro0,
+         jnp.zeros_like(ry0), jnp.zeros_like(ro0)),
         unroll=False)
     qyy = jnp.sum(wy * wy, axis=0, keepdims=True)     # (1, B)
     qoy = jnp.sum(wy * wo, axis=0, keepdims=True)

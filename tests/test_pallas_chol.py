@@ -82,3 +82,26 @@ def test_full_128_no_padding(rng):
                          interpret=True)
     for k in qx:
         assert np.allclose(np.asarray(qx[k]), np.asarray(qp[k]), rtol=2e-5), k
+
+
+def test_lanes_kernel_interpret_matches_xla(rng):
+    from ccgp_tpu.ops.pallas_chol_lanes import chol_quadratics_lanes
+
+    grams, y = _batch(rng, b=5, n=33)  # odd batch -> exercises B padding
+    qx = chol_quadratics(grams, y, jitter=1e-8, use_pallas=False)
+    ql = chol_quadratics_lanes(grams, y, jitter=1e-8, interpret=True)
+    for k in qx:
+        assert np.allclose(np.asarray(qx[k]), np.asarray(ql[k]),
+                           rtol=2e-5), k
+
+
+def test_lanes_kernel_full_128(rng):
+    from ccgp_tpu.ops.pallas_chol_lanes import chol_quadratics_lanes
+
+    x = rng.uniform(size=(128, 2))
+    grams = kernels.sqexp_gram(jnp.asarray(x), 8.0)[None]
+    y = jnp.asarray(rng.normal(size=128))
+    qx = chol_quadratics(grams, y, jitter=1e-6, use_pallas=False)
+    ql = chol_quadratics_lanes(grams, y, jitter=1e-6, interpret=True)
+    for k in qx:
+        assert np.allclose(np.asarray(qx[k]), np.asarray(ql[k]), rtol=2e-5), k
