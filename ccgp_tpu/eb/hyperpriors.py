@@ -28,9 +28,10 @@ import numpy as np
 
 from ccgp_tpu.eb.halton import halton
 from ccgp_tpu.models.combination import MixtureSpec, MixParams, mixed_gram
-from ccgp_tpu.ops import linalg
+from ccgp_tpu.ops.pallas_chol import chol_quadratics
 from ccgp_tpu.ops.special import invgamma_quantile
-from ccgp_tpu.utils import stats
+
+_LOG2PI = 1.8378770664093453
 
 
 class HyperparChoice(NamedTuple):
@@ -62,17 +63,19 @@ def marginal_likelihood(
     p = nodes
     theta1 = invgamma_quantile(p, a1, b1)
     theta2 = invgamma_quantile(p, a2, b2)
+    n = y.shape[-1]
 
-    def cond_like(p_i, t1_i, t2_i):
+    def cov_of(p_i, t1_i, t2_i):
         params = MixParams(p=p_i, theta1=t1_i, theta2=t2_i)
         s2t = sigma2 * (p_i * p_i + (1.0 - p_i) ** 2)
-        r = mixed_gram(spec, x, params)
-        cov = s2t * r + tau * tau   # + tau^2 J (all-ones matrix)
-        chol = linalg.jitter_cholesky(cov, jitter)
-        ll = stats.mvn_logpdf_chol(y, jnp.zeros_like(y), chol)
-        return jnp.where(jnp.isfinite(ll), jnp.exp(ll), 0.0)
+        return s2t * mixed_gram(spec, x, params) + tau * tau  # + tau^2 J
 
-    likes = jax.vmap(cond_like)(p, theta1, theta2)
+    covs = jax.vmap(cov_of)(p, theta1, theta2)        # (N, n, n)
+    # the node sweep is one batched Cholesky: on TPU this dispatches the
+    # lane-batched Pallas kernel (ops/pallas_chol_lanes)
+    q = chol_quadratics(covs, y, jitter=jitter)
+    ll = -0.5 * (n * _LOG2PI + q["logdet"] + q["qyy"])
+    likes = jnp.where(jnp.isfinite(ll), jnp.exp(ll), 0.0)
     return jnp.mean(likes)
 
 
