@@ -37,7 +37,7 @@ _LOG2PI = 1.8378770664093453
 class HyperparChoice(NamedTuple):
     pars: jnp.ndarray         # winning (a1, b1, a2, b2)
     index: jnp.ndarray        # row index in the grid
-    likelihoods: jnp.ndarray  # marginal likelihood per grid row
+    likelihoods: jnp.ndarray  # LOG marginal likelihood per grid row
 
 
 def marginal_likelihood(
@@ -57,6 +57,9 @@ def marginal_likelihood(
     mixing weight p and (via the inverse-gamma quantile transform) to place
     theta1/theta2 — exactly the reference's node construction
     (`Advanced.R:557-560`). theta*_pars may be floats or traced scalars.
+
+    Returns the LOG marginal likelihood (log of the node-averaged density;
+    the raw average the reference uses underflows for bad hyperpriors).
     """
     a1, b1 = theta1_pars
     a2, b2 = theta2_pars
@@ -75,8 +78,12 @@ def marginal_likelihood(
     # lane-batched Pallas kernel (ops/pallas_chol_lanes)
     q = chol_quadratics(covs, y, jitter=jitter)
     ll = -0.5 * (n * _LOG2PI + q["logdet"] + q["qyy"])
-    likes = jnp.where(jnp.isfinite(ll), jnp.exp(ll), 0.0)
-    return jnp.mean(likes)
+    ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+    # LOG of the node average: the reference averages raw densities
+    # (`Advanced.R:574,577`), which underflows for poorly fitting
+    # hyperpriors (certainly in f32); log-sum-exp preserves the argmax
+    # with no underflow.
+    return jax.scipy.special.logsumexp(ll) - jnp.log(float(len(p)))
 
 
 def choose_hyperpars(

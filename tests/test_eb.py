@@ -41,7 +41,7 @@ def test_marginal_likelihood_positive(rng):
     nodes = jnp.asarray(halton(64, 1)[:, 0])
     ml = marginal_likelihood(spec, x, y, (3.0, 2.0), (5.0, 16.0), 1.0,
                              nodes, tau=100.0)
-    assert float(ml) > 0
+    assert np.isfinite(float(ml))  # log marginal likelihood
 
 
 def test_choose_hyperpars_prefers_matching_prior(rng):
