@@ -105,3 +105,31 @@ def test_lanes_kernel_full_128(rng):
     ql = chol_quadratics_lanes(grams, y, jitter=1e-6, interpret=True)
     for k in qx:
         assert np.allclose(np.asarray(qx[k]), np.asarray(ql[k]), rtol=2e-5), k
+
+
+def test_fused_gram_chol_interpret_matches_xla(rng):
+    from ccgp_tpu.ops.pallas_gram_chol import fused_mix_quadratics
+
+    n, d, b = 26, 3, 5
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.asarray(rng.normal(size=n))
+    ps = jnp.asarray(rng.uniform(0.3, 0.8, b))
+    r1 = jnp.asarray(rng.uniform(0.5, 2.0, (b, d)))
+    r2 = jnp.asarray(rng.uniform(4.0, 12.0, (b, d)))
+    scale = jnp.asarray(rng.uniform(0.5, 2.0, b))
+    shift = jnp.asarray(rng.uniform(0.0, 3.0, b))
+
+    def gram_one(p_i, r1_i, r2_i):
+        w1, w2 = p_i**2, (1 - p_i) ** 2
+        return (w1 * kernels.sqexp_gram(x, r1_i)
+                + w2 * kernels.sqexp_gram(x, r2_i)) / (w1 + w2)
+
+    import jax
+    covs = (scale[:, None, None] * jax.vmap(gram_one)(ps, r1, r2)
+            + shift[:, None, None])
+    qx = chol_quadratics(covs, y, jitter=1e-8, use_pallas=False)
+    qf = fused_mix_quadratics(x, y, r1, r2, ps, scale=scale, shift=shift,
+                              jitter=1e-8, interpret=True)
+    for k in qx:
+        assert np.allclose(np.asarray(qx[k]), np.asarray(qf[k]),
+                           rtol=2e-5), k
