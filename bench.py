@@ -110,8 +110,8 @@ def main():
         beta0 = gls_beta(chol0, y)
         sigma2 = sigma2_mle(chol0, y, beta0)
 
-        # 2) MAP of the 4-parameter anisotropic posterior: 512-point Halton
-        # sweep (one batched Cholesky) -> top-4 -> short vmapped BFGS polish
+        # 2) MAP of the 4-parameter anisotropic posterior: 256-point Halton
+        # sweep + two shrinking zoom re-scans, each one batched Cholesky
         logpost = make_logpost(spec, x, y, sigma2,
                                theta1_prior=LogNormal(-1.0, 1.0),
                                theta2_prior=InverseGamma(3, 4),
