@@ -245,11 +245,13 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
     per-matrix Pallas kernels in this module reach only ~55-71 us/matrix;
     the LANE-BATCHED kernel (pallas_chol_lanes, batch across VPU lanes)
     reaches ~9.2 us/matrix. Default (use_pallas=None): the lanes kernel on
-    TPU for batches >= 128, XLA otherwise. use_pallas=True forces this
-    module's per-matrix kernel (kept as a tested exploration baseline).
+    TPU for batches >= 64 and n <= 128 (its tile limit), XLA otherwise.
+    use_pallas=True forces this module's per-matrix kernel (kept as a
+    tested exploration baseline).
     """
     if use_pallas is None:
-        if jax.default_backend() == "tpu" and grams.shape[0] >= 64:
+        if (jax.default_backend() == "tpu" and grams.shape[0] >= 64
+                and grams.shape[1] <= TILE):
             from ccgp_tpu.ops.pallas_chol_lanes import chol_quadratics_lanes
 
             return chol_quadratics_lanes(grams, y, jitter=jitter)

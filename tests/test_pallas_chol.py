@@ -133,3 +133,20 @@ def test_fused_gram_chol_interpret_matches_xla(rng):
     for k in qx:
         assert np.allclose(np.asarray(qx[k]), np.asarray(qf[k]),
                            rtol=2e-5), k
+
+
+def test_tpu_dispatch_guard_large_n(rng, monkeypatch):
+    """TPU auto-dispatch must NOT route n > 128 to the lanes kernel (its
+    tile limit, ops/pallas_chol_lanes.py) — it falls back to XLA instead of
+    raising. Regression for the (n=256, B=128) crash."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    n, b = 256, 128
+    x = jnp.asarray(rng.uniform(size=(n, 2)))
+    thetas = np.linspace(1.0, 4.0, b)
+    grams = jax.vmap(lambda t: kernels.sqexp_gram(x, t))(jnp.asarray(thetas))
+    y = jnp.asarray(rng.normal(size=n))
+    q = chol_quadratics(grams, y, jitter=1e-6, use_pallas=None)
+    assert np.all(np.isfinite(np.asarray(q["logdet"])))
+    want = chol_quadratics(grams, y, jitter=1e-6, use_pallas=False)
+    for k in q:
+        assert np.allclose(np.asarray(q[k]), np.asarray(want[k])), k
