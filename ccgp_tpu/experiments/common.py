@@ -8,6 +8,7 @@ produce the RMSPE / coverage / calibration table.
 """
 from __future__ import annotations
 
+import warnings
 from typing import NamedTuple, Optional
 
 import jax
@@ -50,7 +51,10 @@ def run_study(
     run_single: bool = True,
     cgp_candidates: int = 505,
     jitter: float = 0.0,
+    on_unconverged: str = "warn",     # 'warn' | 'raise' | 'ignore'
 ) -> StudyResult:
+    if on_unconverged not in ("warn", "raise", "ignore"):
+        raise ValueError(on_unconverged)
     k_fit, k_pred, k_cgp, k_single = jax.random.split(key, 4)
 
     fit = fit_combined_gp(spec, x, y, k_fit, mcmc=mcmc,
@@ -58,6 +62,18 @@ def run_study(
                           theta2_prior=theta2_prior, sigma2=sigma2,
                           mle_family=mle_family, mle_ard=mle_ard,
                           jitter=jitter)
+    if on_unconverged != "ignore" and not bool(fit.chain_ok):
+        msg = (
+            "MCMC chain unhealthy: converged="
+            f"{bool(fit.mcmc.converged)} (Geweke p={float(fit.mcmc.pvalue):.3f}"
+            f" < alpha={mcmc.alpha_geweke}), n_recorded="
+            f"{int(fit.mcmc.n_recorded)} vs samp_size={mcmc.samp_size} after "
+            f"{int(fit.mcmc.n_proposals)} proposals; the retained window "
+            "duplicates draws if under-filled. Raise n_max/max_proposals or "
+            "pass on_unconverged='ignore'.")
+        if on_unconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     quant_ref = jnp.asarray(y_true, x.dtype) if quant_vs_truth else None
     pred = predict_combined_gp(spec, fit, x, x_new, k_pred, alpha=alpha,
                                quant_ref=quant_ref)

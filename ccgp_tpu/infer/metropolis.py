@@ -63,6 +63,14 @@ class MetropolisResult(NamedTuple):
                        0, hi)
         return self.samples[idx], self.betas[idx], self.logposts[idx]
 
+    def chain_ok(self, samp_size: int) -> jnp.ndarray:
+        """Healthy-chain flag: Geweke-converged AND the retained window is
+        fully backed by real draws (no clamped duplication in `retained`).
+        The reference can't hit the under-fill case — it loops until Geweke
+        passes or N.max records (`1D...Public.R:684-713`); the bounded
+        `max_proposals` here introduces it, so callers must check."""
+        return self.converged & (self.n_recorded >= samp_size)
+
 
 def metropolis(
     logpost: Callable,

@@ -46,6 +46,7 @@ class MCMCConfig:
     batch_size: int = 20
     alpha_geweke: float = 0.5
     record: str = "accepted"
+    max_proposals: Optional[int] = None   # None -> metropolis default
 
 
 class CombinedGPFit(NamedTuple):
@@ -55,6 +56,7 @@ class CombinedGPFit(NamedTuple):
     cache: FactorCache          # factors for the net retained draws
     zs: jnp.ndarray             # (net, n_params) retained unconstrained draws
     params: MixParams           # batched constrained draws
+    chain_ok: Optional[jnp.ndarray] = None  # Geweke-converged AND window full
 
 
 def fit_combined_gp(
@@ -83,7 +85,8 @@ def fit_combined_gp(
     res = metropolis(logpost, jnp.asarray(mcmc.start, x.dtype), k_mcmc,
                      n_max=mcmc.n_max, samp_size=mcmc.samp_size,
                      batch_size=mcmc.batch_size,
-                     alpha_geweke=mcmc.alpha_geweke, record=mcmc.record)
+                     alpha_geweke=mcmc.alpha_geweke, record=mcmc.record,
+                     max_proposals=mcmc.max_proposals)
     zs_all, betas_all, _ = res.retained(mcmc.samp_size)
     # reference keeps the last net_samp_size of the samp_size window
     # (`1D...Public.R:755,777`)
@@ -92,7 +95,7 @@ def fit_combined_gp(
     cache = build_factors(spec, x, y, zs, betas, jitter=jitter)
     params, _ = jax.vmap(lambda z: unpack(spec, z))(zs)
     return CombinedGPFit(sigma2=s2, mle=mle, mcmc=res, cache=cache, zs=zs,
-                         params=params)
+                         params=params, chain_ok=res.chain_ok(mcmc.samp_size))
 
 
 def predict_combined_gp(

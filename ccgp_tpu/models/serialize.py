@@ -41,6 +41,8 @@ def save_fit(path: str | Path, fit: CombinedGPFit) -> None:
         "params_theta2": fit.params.theta2,
         "zs": fit.zs,
     }
+    if fit.chain_ok is not None:
+        flat["chain_ok"] = fit.chain_ok
     np.savez_compressed(Path(path), **{k: np.asarray(v)
                                        for k, v in flat.items()})
 
@@ -63,4 +65,5 @@ def load_fit(path: str | Path) -> CombinedGPFit:
     cache = FactorCache(chol=j("cache_chol"), a=j("cache_a"),
                         u=j("cache_u"), beta=j("cache_beta"), params=params)
     return CombinedGPFit(sigma2=j("sigma2"), mle=mle, mcmc=mcmc,
-                         cache=cache, zs=j("zs"), params=params)
+                         cache=cache, zs=j("zs"), params=params,
+                         chain_ok=j("chain_ok") if "chain_ok" in z else None)

@@ -183,10 +183,11 @@ def distributed_train_step(
         return new_state, metrics
 
     def make_state(key: jax.Array, n_chains: int, z0: jnp.ndarray):
-        keys = jax.random.split(key, n_chains)
+        k_chains, k_perturb = jax.random.split(key)
+        keys = jax.random.split(k_chains, n_chains)
         zs = jnp.tile(z0[None], (n_chains, 1))
         # perturb chains so they differ
-        zs = zs + 0.01 * jax.random.normal(key, zs.shape, zs.dtype)
+        zs = zs + 0.01 * jax.random.normal(k_perturb, zs.shape, zs.dtype)
         lps = jax.vmap(lambda z: logpost(z).val)(zs)
         state = TrainStepState(
             z=jax.device_put(zs, dp_shard),

@@ -73,3 +73,33 @@ def test_heat_exchanger_fast():
     res = heat_exchanger.run(cfg)
     assert res.summary.rmspe["combined"] < 4.0
     assert res.summary.rmspe["combined"] < res.summary.rmspe["single"] * 1.5
+
+
+def test_run_study_surfaces_unhealthy_chain():
+    """A chain that exhausts max_proposals before filling the retained
+    window must be surfaced (warn by default, raise on request) instead of
+    silently duplicating draws (VERDICT r1 item 8)."""
+    from ccgp_tpu.experiments.common import run_study
+    from ccgp_tpu.models import MixtureSpec, InverseGamma
+    from ccgp_tpu.ops import kernels
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(size=(10, 2)))
+    y = jnp.sin(5 * x[:, 0]) + jnp.cos(3 * x[:, 1])
+    x_new = jnp.asarray(rng.uniform(size=(5, 2)))
+    y_true = np.asarray(np.sin(5 * np.asarray(x_new[:, 0]))
+                        + np.cos(3 * np.asarray(x_new[:, 1])))
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=2)
+    short = MCMCConfig(n_max=400, samp_size=300, net_samp_size=200,
+                       max_proposals=40)
+    kwargs = dict(mcmc=short, theta1_prior=InverseGamma(3, 2),
+                  theta2_prior=InverseGamma(5, 16), jitter=1e-8,
+                  run_cgp=False, run_single=False)
+    with pytest.warns(RuntimeWarning, match="n_recorded"):
+        res = run_study(spec, x, y, x_new, y_true, jax.random.PRNGKey(0),
+                        **kwargs)
+    assert not bool(res.fit.chain_ok)
+    assert int(res.fit.mcmc.n_recorded) < short.samp_size
+    with pytest.raises(RuntimeError, match="unhealthy"):
+        run_study(spec, x, y, x_new, y_true, jax.random.PRNGKey(0),
+                  on_unconverged="raise", **kwargs)
