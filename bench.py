@@ -197,6 +197,58 @@ def main():
     # function 2's range is ~[-0.3, 0.4]; a correct fit sits near 0.005
     assert rmspe < 0.02, f"accuracy regression: rmspe={rmspe}"
 
+    # ------------------------------------------------------------------
+    # Second metric: the reference's OWN pipeline, full-Bayesian — plug-in
+    # sigma^2 (kriging MLE) -> Laplace -> Metropolis with Geweke stopping
+    # at reference budgets (n_max=5000, samp_size=net=1000,
+    # `2D...Isotropic Public.R:845-852`) -> posterior-predictive MC
+    # intervals over the retained draws. One jitted program; slope-timed;
+    # accuracy-, calibration- and convergence-guarded.
+    # ------------------------------------------------------------------
+    from ccgp_tpu.models import MCMCConfig, fit_combined_gp, predict_combined_gp
+
+    bayes_cfg = MCMCConfig(start=(1.0, 1.0, 0.0, 0.0), n_max=5000,
+                           samp_size=1000, net_samp_size=1000)
+
+    def bayes_fit_predict(x, y, grid, key):
+        kf, kp = jax.random.split(key)
+        fit = fit_combined_gp(spec, x, y, kf, mcmc=bayes_cfg,
+                              theta1_prior=LogNormal(-1.0, 1.0),
+                              theta2_prior=InverseGamma(3, 4),
+                              jitter=jitter)
+        pred = predict_combined_gp(spec, fit, x, grid, kp)
+        return (pred.mean, pred.lower, pred.upper, fit.chain_ok,
+                fit.mcmc.n_recorded, fit.mcmc.n_proposals, fit.sigma2)
+
+    bayes_j = jax.jit(bayes_fit_predict)
+    key = jax.random.PRNGKey(7)
+    bres = jax.block_until_ready(bayes_j(x, y, grid, key))  # compile
+
+    def bayes_batch(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = bayes_j(x, y, grid, key)
+        float(out[6])  # scalar fetch = true device sync
+        return time.perf_counter() - t0
+
+    bayes_batch(1)
+    bk1, bk2 = 1, 3
+    bt1 = min(bayes_batch(bk1) for _ in range(3))
+    bt2 = min(bayes_batch(bk2) for _ in range(3))
+    bayes_ms = float((bt2 - bt1) / (bk2 - bk1) * 1e3)
+
+    b_mean, b_lo, b_hi, b_ok, b_nrec, b_nprop, _ = bres
+    b_mean = np.asarray(b_mean)
+    assert np.isfinite(b_mean).all()
+    b_rmspe = float(np.sqrt(np.mean((y_true - b_mean) ** 2)))
+    assert b_rmspe < 0.03, f"bayes accuracy regression: rmspe={b_rmspe}"
+    cover = float(np.mean((y_true >= np.asarray(b_lo))
+                          & (y_true <= np.asarray(b_hi))))
+    assert cover >= 0.80, f"bayes calibration regression: coverage={cover}"
+    assert bool(b_ok), (f"bayes chain unhealthy: n_recorded={int(b_nrec)} "
+                        f"proposals={int(b_nprop)}")
+
     print(json.dumps({
         "metric": "fit_predict_2d_aniso_100pt_maximin",
         "value": round(ms, 3),
@@ -204,6 +256,17 @@ def main():
         "vs_baseline": round(50.0 / ms, 3),
         "rmspe": round(rmspe, 5),
         "backend": jax.default_backend(),
+        "bayes": {
+            "metric": "fit_predict_bayes_2d_aniso_100pt_maximin",
+            "value": round(bayes_ms, 1),
+            "unit": "ms",
+            "vs_baseline": round(50.0 / bayes_ms, 3),
+            "rmspe": round(b_rmspe, 5),
+            "coverage95": round(cover, 3),
+            "n_recorded": int(b_nrec),
+            "n_proposals": int(b_nprop),
+            "converged": bool(b_ok),
+        },
     }))
 
 
