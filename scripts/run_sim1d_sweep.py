@@ -1,15 +1,18 @@
-"""The 1-D simulation study over the reference's shipped designs, as one
-vmapped TPU program.
+"""The 1-D simulation study over the reference's shipped designs.
 
 The reference runs `Combined.GP.fit` serially per design of
-`1D Combined GP Simulation Designs.txt` (one row per size-8 LHD). Here the
-ENTIRE study — plug-in sigma^2 grid-MLE, Laplace seed, Metropolis chain,
-posterior prediction, RMSPE/coverage/quantile — is a single jitted function
-vmapped over designs: every design is a batch lane, the chains run in
-lockstep inside one lax.while_loop, and the whole sweep is one device
-program.
+`1D Combined GP Simulation Designs.txt` (one row per size-8 LHD,
+`ReadMe.md:9-11`). Here each CHUNK of designs is one jitted vmapped
+program — plug-in sigma^2 grid-MLE, Laplace seed, Metropolis chain,
+posterior prediction, RMSPE/coverage/quantile all batched — and the full
+100-design study loops chunks through the SAME compiled program (one
+compile, persistent-cached across processes via utils/cache.py).
 
-Usage: python scripts/run_sim1d_sweep.py [n_designs] [func]
+Chunking note: 48-lane single programs have crashed the axon TPU worker
+(long lock-step while_loop); 20-lane chunks are safely inside the
+validated 24-lane scale and keep shapes constant.
+
+Usage: python scripts/run_sim1d_sweep.py [n_designs=100] [func=1] [chunk=20]
 Appends a summary block to RESULTS.md.
 """
 from __future__ import annotations
@@ -23,13 +26,15 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-N_DESIGNS = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-# NOTE: 48-lane runs have crashed the axon TPU worker (long lock-step
-# while_loop); 24 lanes is the validated scale on this tunnel.
+N_DESIGNS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 FUNC = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 
 
 def main():
+    from ccgp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -64,8 +69,6 @@ def main():
     xg_np = np.linspace(0, 1, n_new)
     y_true_np = f_np(xg_np)
 
-    designs = jnp.asarray(designs_np[..., None], dtype)      # (m, 8, 1)
-    ys = jnp.asarray(y_np, dtype)
     xg = jnp.asarray(xg_np[:, None], dtype)
     y_true = jnp.asarray(y_true_np, dtype)
     mle_grid_np = np.linspace(-4.0, 2.0, 32, dtype=np.float32)
@@ -99,29 +102,54 @@ def main():
         cover = jnp.mean(((y_true >= pred.lower) & (y_true <= pred.upper))
                          .astype(dtype))
         quant = jnp.mean(pred.quant)
-        return rmspe, cover, quant, res.n_recorded, res.converged
+        return rmspe, cover, quant, res.chain_ok(samp_size)
 
-    keys = jax.random.split(jax.random.PRNGKey(0), N_DESIGNS)
     sweep = jax.jit(jax.vmap(study_one))
-    t0 = time.time()
-    rmspe, cover, quant, nrec, conv = sweep(designs, ys, keys)
-    float(rmspe[0])  # sync (single fetch)
-    dt = time.time() - t0
-    rmspe, cover, quant = map(np.asarray, (rmspe, cover, quant))
-    conv = np.asarray(conv)
+    keys_np = np.asarray(jax.random.split(jax.random.PRNGKey(0), N_DESIGNS))
 
-    import jax as _j
+    # pad to a whole number of chunks (padded lanes are dropped after)
+    m_pad = (-N_DESIGNS) % CHUNK
+    designs_all = np.concatenate([designs_np, designs_np[:m_pad]])
+    y_all = np.concatenate([y_np, y_np[:m_pad]])
+    keys_all = np.concatenate([keys_np, keys_np[:m_pad]])
+    n_chunks = len(designs_all) // CHUNK
+
+    def chunk_args(c):
+        s = slice(c * CHUNK, (c + 1) * CHUNK)
+        return (jnp.asarray(designs_all[s][..., None], dtype),
+                jnp.asarray(y_all[s], dtype),
+                jnp.asarray(keys_all[s]))
+
+    # compile once (AOT) so compile vs steady-state is reported separately
+    t0 = time.time()
+    compiled = sweep.lower(*chunk_args(0)).compile()
+    t_compile = time.time() - t0
+
+    t0 = time.time()
+    outs = []
+    for c in range(n_chunks):
+        out = compiled(*chunk_args(c))
+        outs.append([np.asarray(o) for o in out])
+    t_run = time.time() - t0
+
+    rmspe, cover, quant, ok = (np.concatenate([o[i] for o in outs])[:N_DESIGNS]
+                               for i in range(4))
+
     lines = [
         "",
         f"## 1-D simulation sweep (function {FUNC}, {N_DESIGNS} shipped "
-        f"designs, one vmapped program, backend={_j.default_backend()})",
+        f"designs, {n_chunks}x{CHUNK}-lane chunks of one compiled program, "
+        f"backend={jax.default_backend()})",
         "",
         f"- RMSPE combined: median {np.median(rmspe):.3f}, "
         f"IQR [{np.quantile(rmspe, .25):.3f}, {np.quantile(rmspe, .75):.3f}]",
-        f"- 95% PI coverage: median {np.median(cover):.3f}",
+        f"- 95% PI coverage: median {np.median(cover):.3f}, "
+        f"mean {cover.mean():.3f}",
         f"- calibration quantile: mean {quant.mean():.3f} (ideal 0.5)",
-        f"- chains Geweke-converged: {int(conv.sum())}/{N_DESIGNS}",
-        f"- wall-clock: {dt:.1f}s for the whole study",
+        f"- chains healthy (Geweke-converged, window full): "
+        f"{int(ok.sum())}/{N_DESIGNS}",
+        f"- wall-clock: compile {t_compile:.1f}s (persistent-cached) + "
+        f"run {t_run:.1f}s",
     ]
     print("\n".join(lines))
     with open(ROOT / "RESULTS.md", "a") as fh:

@@ -1,8 +1,10 @@
 """The 2-D isotropic simulation study over the reference's shipped
-Train_Design files, as one vmapped TPU program (the 2-D analogue of
-run_sim1d_sweep.py; the reference loops 100 such designs serially).
+Train_Design files (`ReadMe.md:22-23`; the reference loops 100 such designs
+serially). 2-D analogue of run_sim1d_sweep.py: chunks of designs run as one
+vmapped jitted program, the full study loops chunks through the same
+compiled executable, persistent-cached across processes.
 
-Usage: python scripts/run_sim2d_sweep.py [n_designs] [func]
+Usage: python scripts/run_sim2d_sweep.py [n_designs=100] [func=2] [chunk=20]
 """
 from __future__ import annotations
 
@@ -15,8 +17,9 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-N_DESIGNS = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+N_DESIGNS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 FUNC = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 20
 
 
 def f_np(xy, code=FUNC):
@@ -35,6 +38,9 @@ def f_np(xy, code=FUNC):
 
 
 def main():
+    from ccgp_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
     import jax
     import jax.numpy as jnp
 
@@ -59,8 +65,6 @@ def main():
     grid_np = np.stack(np.meshgrid(u, u), -1).reshape(-1, 2)
     y_true_np = f_np(grid_np)
 
-    designs = jnp.asarray(designs_np, dtype)
-    ys = jnp.asarray(y_np, dtype)
     xg = jnp.asarray(grid_np, dtype)
     y_true = jnp.asarray(y_true_np, dtype)
     mle_grid_np = np.linspace(-2.0, 5.0, 32, dtype=np.float32)
@@ -90,27 +94,52 @@ def main():
         rmspe = jnp.sqrt(jnp.mean(e * e))
         cover = jnp.mean(((y_true >= pred.lower) & (y_true <= pred.upper))
                          .astype(dtype))
-        return rmspe, cover, jnp.mean(pred.quant), res.converged
+        return rmspe, cover, jnp.mean(pred.quant), res.chain_ok(samp_size)
 
-    keys = jax.random.split(jax.random.PRNGKey(0), N_DESIGNS)
     sweep = jax.jit(jax.vmap(study_one))
+    keys_np = np.asarray(jax.random.split(jax.random.PRNGKey(0), N_DESIGNS))
+
+    m_pad = (-N_DESIGNS) % CHUNK
+    designs_all = np.concatenate([designs_np, designs_np[:m_pad]])
+    y_all = np.concatenate([y_np, y_np[:m_pad]])
+    keys_all = np.concatenate([keys_np, keys_np[:m_pad]])
+    n_chunks = len(designs_all) // CHUNK
+
+    def chunk_args(c):
+        s = slice(c * CHUNK, (c + 1) * CHUNK)
+        return (jnp.asarray(designs_all[s], dtype),
+                jnp.asarray(y_all[s], dtype),
+                jnp.asarray(keys_all[s]))
+
     t0 = time.time()
-    rmspe, cover, quant, conv = sweep(designs, ys, keys)
-    float(rmspe[0])
-    dt = time.time() - t0
-    rmspe, cover, quant, conv = map(np.asarray, (rmspe, cover, quant, conv))
+    compiled = sweep.lower(*chunk_args(0)).compile()
+    t_compile = time.time() - t0
+
+    t0 = time.time()
+    outs = []
+    for c in range(n_chunks):
+        out = compiled(*chunk_args(c))
+        outs.append([np.asarray(o) for o in out])
+    t_run = time.time() - t0
+
+    rmspe, cover, quant, ok = (np.concatenate([o[i] for o in outs])[:N_DESIGNS]
+                               for i in range(4))
 
     lines = [
         "",
         f"## 2-D simulation sweep (function {FUNC}, {N_DESIGNS} shipped "
-        f"Train_Designs, one vmapped program, backend={jax.default_backend()})",
+        f"Train_Designs, {n_chunks}x{CHUNK}-lane chunks of one compiled "
+        f"program, backend={jax.default_backend()})",
         "",
         f"- RMSPE combined: median {np.median(rmspe):.4f}, "
         f"IQR [{np.quantile(rmspe, .25):.4f}, {np.quantile(rmspe, .75):.4f}]",
-        f"- 95% PI coverage: median {np.median(cover):.3f}",
+        f"- 95% PI coverage: median {np.median(cover):.3f}, "
+        f"mean {cover.mean():.3f}",
         f"- calibration quantile: mean {quant.mean():.3f} (ideal 0.5)",
-        f"- chains Geweke-converged: {int(conv.sum())}/{N_DESIGNS}",
-        f"- wall-clock: {dt:.1f}s for the whole study",
+        f"- chains healthy (Geweke-converged, window full): "
+        f"{int(ok.sum())}/{N_DESIGNS}",
+        f"- wall-clock: compile {t_compile:.1f}s (persistent-cached) + "
+        f"run {t_run:.1f}s",
     ]
     print("\n".join(lines))
     with open(ROOT / "RESULTS.md", "a") as fh:

@@ -65,3 +65,36 @@ def test_choose_hyperpars_prefers_matching_prior(rng):
     assert int(choice.index) == 0
     likes = np.asarray(choice.likelihoods)
     assert likes[0] > likes[1]
+
+
+def test_marginal_likelihood_matches_reference_transcription(rng):
+    """T1 parity: literal numpy transcription of likeli.hyperpars
+    (`2D...Isotropic Advanced.R:552-579`) — theta_i = qigamma(p; a_i, b_i)
+    at Halton p-nodes, cond.like = N(y; 0, sigma2_t R_mix + tau^2 J),
+    marginal = node mean. The repo returns the LOG of that mean."""
+    from scipy.stats import multivariate_normal, invgamma
+    import scipy.spatial.distance as ssd
+
+    x_np = rng.uniform(size=(10, 2))
+    y_np = rng.normal(size=10)
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=2)
+    a1, b1, a2, b2 = 3.0, 2.0, 5.0, 16.0
+    sigma2, tau = 1.3, 50.0
+    nodes_np = np.asarray(halton(32, 1)[:, 0])
+
+    d2 = ssd.cdist(x_np, x_np) ** 2
+    dens = []
+    for p in nodes_np:
+        t1 = invgamma.ppf(p, a1, scale=b1)
+        t2 = invgamma.ppf(p, a2, scale=b2)
+        r = (p**2 * np.exp(-t1 * d2) + (1 - p) ** 2 * np.exp(-t2 * d2)) \
+            / (p**2 + (1 - p) ** 2)
+        s2t = sigma2 * (p**2 + (1 - p) ** 2)
+        cov = s2t * r + tau**2 * np.ones((10, 10))
+        dens.append(multivariate_normal.pdf(y_np, mean=np.zeros(10), cov=cov))
+    want = np.log(np.mean(dens))
+
+    got = float(marginal_likelihood(spec, jnp.asarray(x_np),
+                                    jnp.asarray(y_np), (a1, b1), (a2, b2),
+                                    sigma2, jnp.asarray(nodes_np), tau=tau))
+    assert np.isclose(got, want, rtol=1e-9), (got, want)

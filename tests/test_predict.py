@@ -53,8 +53,8 @@ def test_predictive_moments_match_reference_formulas(rng):
         var_want = sigma2 * (1 - np.einsum("nt,nm,mt->t", rvec, rinv, rvec)
                              + (1 - ones @ rinv @ rvec) ** 2
                              / (ones @ rinv @ ones))
-        assert np.allclose(np.asarray(dm[i]), mean_want, rtol=1e-9)
-        assert np.allclose(np.asarray(dv[i]), var_want, rtol=1e-8)
+        assert np.allclose(np.asarray(dm[i]), mean_want, rtol=1e-10)
+        assert np.allclose(np.asarray(dv[i]), var_want, rtol=1e-10)
 
 
 def test_posterior_predict_aggregation(rng):
