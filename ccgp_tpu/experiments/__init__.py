@@ -12,4 +12,5 @@ from ccgp_tpu.experiments import (
     batch_me_design,
     heat_exchanger,
     ground_vibrations,
+    sim_2d_sweep,
 )

@@ -98,3 +98,25 @@ def test_distributed_train_step(rng):
     assert np.isfinite(float(metrics["mean_logpost"]))
     assert metrics["grid_mean"].shape == (16,)
     assert 0.0 <= float(metrics["acc_rate"]) <= 1.0
+
+
+def test_sim_2d_sweep_mesh_matches_single():
+    """The CLI-exposed sweep (designs sharded over the mesh) returns the
+    same per-design results as the unsharded run."""
+    from ccgp_tpu.experiments import sim_2d_sweep
+    from ccgp_tpu.models import MCMCConfig
+
+    cfg = dict(func=2, n_designs=8, n_new_axis=5,
+               mcmc=MCMCConfig(start=(1.0, 1.0, 0.0), n_max=300,
+                               samp_size=100, net_samp_size=80))
+    key = jax.random.PRNGKey(0)
+    # f64: in f32 the sharded/unsharded compilation variants round
+    # differently and the MCMC accept chain amplifies one flipped
+    # comparison into a different trajectory
+    r1 = sim_2d_sweep.run(sim_2d_sweep.Config(mesh_devices=0, **cfg),
+                          key=key, dtype=jnp.float64)
+    r8 = sim_2d_sweep.run(sim_2d_sweep.Config(mesh_devices=8, **cfg),
+                          key=key, dtype=jnp.float64)
+    assert np.allclose(r1.rmspe, r8.rmspe, rtol=1e-9)
+    assert np.allclose(r1.coverage, r8.coverage)
+    assert np.array_equal(r1.chain_ok, r8.chain_ok)
