@@ -84,9 +84,16 @@ def metropolis(
     proposal_cov_scale: float = 1.4142135623730951,  # sqrt(2), ref :690
     laplace_maxiter: int = 100,
     max_proposals: int | None = None,
+    laplace_fit: LaplaceFit | None = None,
 ) -> MetropolisResult:
     """Run one chain. `logpost(z)` must return an object with `.val` (scalar
-    log-posterior; -inf for invalid) and `.beta`."""
+    log-posterior; -inf for invalid) and `.beta`.
+
+    laplace_fit: pass a precomputed/checkpointed Laplace approximation to
+    skip the mode search and RESUME sampling — the chain then starts at
+    `start` (e.g. the last retained draw of a saved fit) with the saved
+    proposal covariance, instead of re-optimizing to the mode.
+    """
     if record not in ("accepted", "all"):
         raise ValueError(record)
     dim = start.shape[-1]
@@ -94,10 +101,16 @@ def metropolis(
     if max_proposals is None:
         max_proposals = 50 * n_max
 
-    fit = laplace(lambda z: logpost(z).val, start, maxiter=laplace_maxiter)
+    if laplace_fit is None:
+        fit = laplace(lambda z: logpost(z).val, start,
+                      maxiter=laplace_maxiter)
+        z0 = fit.mode
+    else:
+        fit = laplace_fit
+        z0 = start
     prop_chol = jnp.linalg.cholesky(proposal_cov_scale * fit.cov)
 
-    lp0 = logpost(fit.mode)
+    lp0 = logpost(z0)
 
     samples0 = jnp.zeros((n_max, dim), dtype)
     betas0 = jnp.zeros((n_max,), dtype)
@@ -143,7 +156,7 @@ def metropolis(
                 S, B, L, pv)
 
     init = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
-            fit.mode, lp0.val, lp0.beta, samples0, betas0, logposts0,
+            z0, lp0.val, lp0.beta, samples0, betas0, logposts0,
             jnp.asarray(0.0, dtype))
     (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = (
         jax.lax.while_loop(cond, body, init)
