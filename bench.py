@@ -215,7 +215,7 @@ def main():
         fit = fit_combined_gp(spec, x, y, kf, mcmc=bayes_cfg,
                               theta1_prior=LogNormal(-1.0, 1.0),
                               theta2_prior=InverseGamma(3, 4),
-                              jitter=jitter)
+                              jitter=jitter, mle_method="grid")
         pred = predict_combined_gp(spec, fit, x, grid, kp)
         return (pred.mean, pred.lower, pred.upper, fit.chain_ok,
                 fit.mcmc.n_recorded, fit.mcmc.n_proposals, fit.sigma2)

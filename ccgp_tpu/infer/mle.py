@@ -83,3 +83,52 @@ def kriging_mle(
     sigma2 = sigma2_mle(chol, y, beta)
     return KrigingMLE(beta=beta, sigma2=sigma2, theta=theta, nll=res.fun,
                       chol=chol)
+
+
+def kriging_mle_grid(
+    family: KernelFamily,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    log_theta_low: float = -5.0,
+    log_theta_high: float = 6.0,
+    n_grid: int = 32,
+    jitter: float = 1e-10,
+) -> KrigingMLE:
+    """Scalar-rate profile-ML fit by a dense batched log-theta grid plus one
+    parabolic refinement — the TPU-first plug-in: one batched Cholesky
+    (throughput-bound) instead of a sequential quasi-Newton chain
+    (latency-bound; measured ~73 ms of the full-Bayes fit's device time).
+    Same role as `MLEs`/`mlegp`'s sigma^2 plug-in (`1D...Public.R:455-471`);
+    scalar theta only — use `kriging_mle(ard=True)` for per-dimension rates.
+    """
+    from ccgp_tpu.ops.pallas_chol import (
+        chol_quadratics, profile_nll_from_quadratics)
+
+    n = y.shape[-1]
+
+    def scan(center, half_span, m):
+        mg = center + jnp.linspace(-half_span, half_span, m, dtype=x.dtype)
+        grams = jax.vmap(lambda lt: family.gram(x, jnp.exp(lt)))(mg)
+        q = chol_quadratics(grams, y, jitter=jitter)
+        nlls = profile_nll_from_quadratics(q, n)
+        nlls = jnp.where(jnp.isfinite(nlls), nlls, jnp.inf)
+        i = jnp.clip(jnp.argmin(nlls), 1, m - 2)
+        f0, f1, f2 = nlls[i - 1], nlls[i], nlls[i + 1]
+        h = mg[1] - mg[0]
+        denom = f0 - 2.0 * f1 + f2
+        shift = jnp.where(jnp.abs(denom) > 1e-12,
+                          0.5 * h * (f0 - f2) / denom, 0.0)
+        return mg[i] + jnp.clip(shift, -h, h), h
+
+    # coarse sweep + one zoomed sweep around the incumbent: two batched
+    # Cholesky rounds, sequential depth 2
+    mid = 0.5 * (log_theta_low + log_theta_high)
+    lt, h = scan(jnp.asarray(mid, x.dtype),
+                 0.5 * (log_theta_high - log_theta_low), n_grid)
+    lt, _ = scan(lt, h, 17)
+    theta = jnp.exp(lt)
+    chol = linalg.jitter_cholesky(family.gram(x, theta), jitter)
+    beta = gls_beta(chol, y)
+    sigma2 = sigma2_mle(chol, y, beta)
+    return KrigingMLE(beta=beta, sigma2=sigma2, theta=theta,
+                      nll=profile_nll(chol, y), chol=chol)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ccgp_tpu.infer.metropolis import metropolis, MetropolisResult
-from ccgp_tpu.infer.mle import kriging_mle, KrigingMLE
+from ccgp_tpu.infer.mle import kriging_mle, kriging_mle_grid, KrigingMLE
 from ccgp_tpu.models.combination import MixtureSpec, MixParams, unpack
 from ccgp_tpu.models.likelihood import make_logpost
 from ccgp_tpu.models.priors import InverseGamma
@@ -72,11 +72,20 @@ def fit_combined_gp(
     mle_family: Optional[KernelFamily] = None,
     mle_ard: bool = False,
     jitter: float = 0.0,
+    mle_method: str = "bfgs",    # 'bfgs' | 'grid' (scalar-rate, batched)
 ) -> CombinedGPFit:
-    """Fit the combined GP. sigma2=None triggers the plug-in kriging MLE."""
+    """Fit the combined GP. sigma2=None triggers the plug-in kriging MLE;
+    mle_method='grid' uses the batched dense-grid profile-ML plug-in
+    (one wide Cholesky sweep instead of a sequential BFGS chain — faster
+    on TPU, scalar rate only)."""
     k_mle, k_mcmc = jax.random.split(key)
     family = mle_family or spec.kernel1
-    mle = kriging_mle(family, x, y, k_mle, ard=mle_ard, jitter=jitter)
+    if mle_method == "grid":
+        if mle_ard:
+            raise ValueError("mle_method='grid' supports scalar rates only")
+        mle = kriging_mle_grid(family, x, y, jitter=jitter)
+    else:
+        mle = kriging_mle(family, x, y, k_mle, ard=mle_ard, jitter=jitter)
     s2 = mle.sigma2 if sigma2 is None else jnp.asarray(sigma2, x.dtype)
 
     logpost = make_logpost(spec, x, y, s2, theta1_prior=theta1_prior,

@@ -178,3 +178,19 @@ def test_metropolis_vmap_chains():
     res = run(starts, keys)
     assert res.samples.shape == (4, 500, 2)
     assert np.all(np.asarray(res.n_recorded) >= 300)
+
+
+def test_kriging_mle_grid_matches_bfgs(rng):
+    """The batched-grid plug-in lands on the same profile-ML optimum as the
+    sequential BFGS fit (same sigma^2 to ~0.1%, same NLL to 1e-4 rel)."""
+    from ccgp_tpu.infer.mle import kriging_mle, kriging_mle_grid
+    from ccgp_tpu.ops import kernels
+
+    x = jnp.asarray(rng.uniform(size=(20, 2)))
+    y = jnp.sin(5 * x[:, 0]) + 0.3 * jnp.cos(9 * x[:, 1])
+    fam = kernels.sqexp_family()
+    a = kriging_mle(fam, x, y, jax.random.PRNGKey(0), jitter=1e-10)
+    b = kriging_mle_grid(fam, x, y, jitter=1e-10)
+    assert np.isclose(float(a.nll), float(b.nll), rtol=1e-4)
+    assert np.isclose(float(a.sigma2), float(b.sigma2), rtol=2e-3)
+    assert np.isclose(float(a.theta), float(b.theta), rtol=0.05)
