@@ -65,7 +65,16 @@ def kriging_mle(
         theta = jnp.exp(lt if ard else lt[0])
         r = family.gram(x, theta)
         chol = linalg.jitter_cholesky(r, jitter)
-        return profile_nll(chol, y)
+        nll = profile_nll(chol, y)
+        # Reject the profile-NLL ridge at the all-ones Gram (distinct design
+        # points numerically perfectly correlated, sigma2_hat exploding to
+        # compensate): a global multistart finds this degenerate "optimum"
+        # on smooth kernels, but the reference's single-start nlminb never
+        # leaves the interior basin and its retry loop discards the singular
+        # limit (`1D...Public.R:455-471`). Observed: Matern nu=5, n=8,
+        # theta ~ 9e2 gives NLL -8.9 < interior -17.7 with sigma2 = NaN.
+        off_max = jnp.max(r * (1.0 - jnp.eye(n, dtype=r.dtype)))
+        return jnp.where(off_max < 1.0 - 1e-6, nll, jnp.inf)
 
     span = log_theta_high - log_theta_low
     starts = log_theta_low + span * (
@@ -111,6 +120,10 @@ def kriging_mle_grid(
         grams = jax.vmap(lambda lt: family.gram(x, jnp.exp(lt)))(mg)
         q = chol_quadratics(grams, y, jitter=jitter)
         nlls = profile_nll_from_quadratics(q, n)
+        # same all-ones-Gram ridge rejection as kriging_mle
+        eye = jnp.eye(n, dtype=x.dtype)
+        off_max = jnp.max(grams * (1.0 - eye), axis=(-2, -1))
+        nlls = jnp.where(off_max < 1.0 - 1e-6, nlls, jnp.inf)
         nlls = jnp.where(jnp.isfinite(nlls), nlls, jnp.inf)
         i = jnp.clip(jnp.argmin(nlls), 1, m - 2)
         f0, f1, f2 = nlls[i - 1], nlls[i], nlls[i + 1]

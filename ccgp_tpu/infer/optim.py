@@ -93,7 +93,14 @@ def multistart_minimize(
         obj = fn
         z0 = starts
 
-    xs, funs = jax.vmap(lambda z: minimize_bfgs(obj, z, maxiter))(z0)
+    xs, _ = jax.vmap(lambda z: minimize_bfgs(obj, z, maxiter))(z0)
+    # jax.scipy's BFGS can report a `fun` that does NOT correspond to its
+    # final `x` (observed: a line search wandering into a guarded/invalid
+    # region returns the pre-wander value with the post-wander point, and
+    # that stale value then wins the argmin while the point is garbage).
+    # Re-evaluate the true objective at every restart solution instead of
+    # trusting the optimizer's reported value.
+    funs = jax.vmap(obj)(xs)
     if bounded:
         xs = jax.vmap(lambda u: transforms.tanh_box(u, lower, upper))(xs)
     # non-finite restarts lose
