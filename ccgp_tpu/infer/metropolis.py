@@ -85,6 +85,7 @@ def metropolis(
     laplace_maxiter: int = 100,
     max_proposals: int | None = None,
     laplace_fit: LaplaceFit | None = None,
+    speculative: int = 0,
 ) -> MetropolisResult:
     """Run one chain. `logpost(z)` must return an object with `.val` (scalar
     log-posterior; -inf for invalid) and `.beta`.
@@ -93,9 +94,23 @@ def metropolis(
     skip the mode search and RESUME sampling — the chain then starts at
     `start` (e.g. the last retained draw of a saved fit) with the saved
     proposal covariance, instead of re-optimizing to the mode.
+
+    speculative: with K = speculative > 1, each loop iteration draws K
+    proposals from the CURRENT state, evaluates their log-posteriors as one
+    batched Cholesky sweep, and consumes the prefix up to (and including)
+    the first acceptance; the rest are discarded. Because a rejected
+    random-walk proposal leaves the state unchanged, the K candidates are
+    i.i.d. draws from the same proposal distribution the sequential
+    algorithm would use — the Markov kernel is EXACTLY the reference's
+    (`1D...Public.R:684-713`), only the evaluation is batched (a TPU-first
+    trade: one wide batched factorization instead of ~1/acc_rate
+    latency-bound sequential ones). Requires record='accepted' (rejections
+    are never recorded, so discarding unused candidates loses nothing).
     """
     if record not in ("accepted", "all"):
         raise ValueError(record)
+    if speculative and speculative > 1 and record != "accepted":
+        raise ValueError("speculative proposals need record='accepted'")
     dim = start.shape[-1]
     dtype = start.dtype
     if max_proposals is None:
@@ -155,11 +170,43 @@ def metropolis(
         return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
                 S, B, L, pv)
 
+    K = int(speculative) if speculative else 1
+
+    def body_spec(state):
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = state
+        key, k1, k2 = jax.random.split(key, 3)
+        eps = jax.random.normal(k1, (K, dim), dtype)
+        cands = z[None, :] + eps @ prop_chol.T
+        # one batched Cholesky sweep; keep only (val, beta) per candidate
+        vals, betas = jax.vmap(
+            lambda c: (lambda o: (o.val, o.beta))(logpost(c)))(cands)
+        log_u = jnp.log(jax.random.uniform(k2, (K,), dtype=dtype))
+        acc = (vals - lp_val) > log_u
+        any_acc = jnp.any(acc)
+        first = jnp.argmax(acc)                   # first acceptance (0 if none)
+        consumed = jnp.where(any_acc, first + 1, K)
+
+        z_new = jnp.where(any_acc, cands[first], z)
+        val_new = jnp.where(any_acc, vals[first], lp_val)
+        beta_new = jnp.where(any_acc, betas[first], lp_beta)
+        row = k_rec
+        S = jnp.where(any_acc, S.at[row].set(z_new), S)
+        B = jnp.where(any_acc, B.at[row].set(beta_new), B)
+        L = jnp.where(any_acc, L.at[row].set(val_new), L)
+        k_rec = k_rec + any_acc.astype(k_rec.dtype)
+        n_acc = n_acc + any_acc.astype(n_acc.dtype)
+        n_prop = n_prop + consumed.astype(n_prop.dtype)
+
+        check = any_acc & (k_rec >= samp_size) & (k_rec % batch_size == 0)
+        pv = jax.lax.cond(check, lambda: do_geweke(S, k_rec), lambda: pv)
+        return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
+                S, B, L, pv)
+
     init = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
             z0, lp0.val, lp0.beta, samples0, betas0, logposts0,
             jnp.asarray(0.0, dtype))
     (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = (
-        jax.lax.while_loop(cond, body, init)
+        jax.lax.while_loop(cond, body_spec if K > 1 else body, init)
     )
     return MetropolisResult(
         samples=S, betas=B, logposts=L, n_recorded=k_rec,

@@ -47,6 +47,7 @@ class MCMCConfig:
     alpha_geweke: float = 0.5
     record: str = "accepted"
     max_proposals: Optional[int] = None   # None -> metropolis default
+    speculative: int = 0   # K>1: batched speculative proposals (accepted-only)
 
 
 class CombinedGPFit(NamedTuple):
@@ -95,7 +96,8 @@ def fit_combined_gp(
                      n_max=mcmc.n_max, samp_size=mcmc.samp_size,
                      batch_size=mcmc.batch_size,
                      alpha_geweke=mcmc.alpha_geweke, record=mcmc.record,
-                     max_proposals=mcmc.max_proposals)
+                     max_proposals=mcmc.max_proposals,
+                     speculative=mcmc.speculative)
     zs_all, betas_all, _ = res.retained(mcmc.samp_size)
     # reference keeps the last net_samp_size of the samp_size window
     # (`1D...Public.R:755,777`)

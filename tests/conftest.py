@@ -24,6 +24,25 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long e2e/experiment tests, skipped in the default lane "
+        "(run them with RUN_SLOW=1 or -m slow)")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Keep the default `pytest tests/` lane under ~10 minutes: slow
+    e2e/experiment tests run only with RUN_SLOW=1 or an explicit -m."""
+    if os.environ.get("RUN_SLOW") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow lane: set RUN_SLOW=1 (or -m slow) to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -5,6 +5,7 @@ import numpy as np
 from ccgp_tpu.eval.functions import test_function_1d as f1d, test_function_2d as f2d
 from ccgp_tpu.models import cgp_fit, cgp_predict
 from ccgp_tpu.models.composite_gp import _objective, _standardize, _bounds, _lhd
+import pytest
 
 
 def test_objective_matches_reference_algebra(rng):
@@ -65,6 +66,7 @@ def test_lhd_properties():
         assert np.allclose(col, (np.arange(20) + 0.5) / 20)
 
 
+@pytest.mark.slow
 def test_cgp_fit_predict_1d():
     x = jnp.asarray(np.linspace(0, 1, 10)[:, None])
     y = f1d(x[:, 0], 1)
@@ -84,6 +86,7 @@ def test_cgp_fit_predict_1d():
     assert cov > 0.5
 
 
+@pytest.mark.slow
 def test_cgp_fit_2d():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.uniform(size=(14, 2)))

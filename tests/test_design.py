@@ -9,6 +9,7 @@ from ccgp_tpu.design import (
 from ccgp_tpu.eval import load_initial_me_design, load_design_txt
 from ccgp_tpu.models import MixtureSpec, MixParams
 from ccgp_tpu.ops import kernels, linalg
+import pytest
 
 
 SPEC = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=2)
@@ -56,6 +57,7 @@ def test_reference_initial_design_scores_well():
     assert np.all(np.abs(np.asarray(res.design)) <= 1.0 + 1e-9)
 
 
+@pytest.mark.slow
 def test_batch_me_design_improves_entropy():
     d_old = jnp.asarray(load_initial_me_design())
     res = batch_me_design(SPEC, PARAMS, d_old, 7, jax.random.PRNGKey(1),

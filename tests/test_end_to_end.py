@@ -14,8 +14,10 @@ from ccgp_tpu.models import (
     kriging_predict, InverseGamma,
 )
 from ccgp_tpu.ops import kernels
+import pytest
 
 
+@pytest.mark.slow
 def test_2d_iso_slice():
     x = jnp.asarray(load_maximin_2d(14))
     y = f2d(x, 2)

@@ -26,11 +26,13 @@ def _check(res, rmspe_limit):
     assert 0.0 <= res.summary.average_quantile <= 1.0
 
 
+@pytest.mark.slow
 def test_sim_1d():
     res = sim_1d.run(sim_1d.Config(func=2, mcmc=FAST_1D, n_new=20))
     _check(res, 1.0)  # sin(10x) range [-1,1]
 
 
+@pytest.mark.slow
 def test_sim_1d_two_families():
     res = sim_1d_two_families.run(
         sim_1d_two_families.Config(func=2, mcmc=FAST_1D, n_new=20))
@@ -42,6 +44,7 @@ def test_sim_2d_iso():
     _check(res, 1.0)
 
 
+@pytest.mark.slow
 def test_sim_2d_aniso():
     res = sim_2d_aniso.run(sim_2d_aniso.Config(func=3, mcmc=FAST4,
                                                n_new_axis=7))
@@ -50,6 +53,7 @@ def test_sim_2d_aniso():
     assert res.fit.zs.shape[-1] == 4
 
 
+@pytest.mark.slow
 def test_batch_me_design_workflow():
     cfg = batch_me_design.Config(mcmc=FAST, n_starts=4, n_new_axis=5)
     res = batch_me_design.run(cfg, refit=False)
@@ -58,6 +62,7 @@ def test_batch_me_design_workflow():
     assert np.all(np.abs(res.d_second) <= 1.0 + 1e-9)
 
 
+@pytest.mark.slow
 def test_ground_vibrations_fast():
     cfg = ground_vibrations.Config(mcmc=FAST)
     res = ground_vibrations.run(cfg, run_cgp=False)
@@ -66,6 +71,7 @@ def test_ground_vibrations_fast():
     assert res.summary.coverage["combined"] > 0.8
 
 
+@pytest.mark.slow
 def test_heat_exchanger_fast():
     cfg = heat_exchanger.Config(mcmc=MCMCConfig(start=(1.0, 2.7, 0.0),
                                                 n_max=1200, samp_size=300,
@@ -75,6 +81,7 @@ def test_heat_exchanger_fast():
     assert res.summary.rmspe["combined"] < res.summary.rmspe["single"] * 1.5
 
 
+@pytest.mark.slow
 def test_run_study_surfaces_unhealthy_chain():
     """A chain that exhausts max_proposals before filling the retained
     window must be surfaced (warn by default, raise on request) instead of

@@ -11,6 +11,7 @@ from ccgp_tpu.infer import (
 )
 from ccgp_tpu.ops import kernels, linalg
 from ccgp_tpu.models.likelihood import profile_nll
+import pytest
 
 
 def test_minimize_bfgs_quadratic():
@@ -180,6 +181,7 @@ def test_metropolis_vmap_chains():
     assert np.all(np.asarray(res.n_recorded) >= 300)
 
 
+@pytest.mark.slow
 def test_kriging_mle_grid_matches_bfgs(rng):
     """The batched-grid plug-in lands on the same profile-ML optimum as the
     sequential BFGS fit (same sigma^2 to ~0.1%, same NLL to 1e-4 rel)."""
@@ -194,3 +196,37 @@ def test_kriging_mle_grid_matches_bfgs(rng):
     assert np.isclose(float(a.nll), float(b.nll), rtol=1e-4)
     assert np.isclose(float(a.sigma2), float(b.sigma2), rtol=2e-3)
     assert np.isclose(float(a.theta), float(b.theta), rtol=0.05)
+
+
+def test_metropolis_speculative_matches_sequential_law():
+    """speculative=K batches K proposals per loop iteration but is the
+    identical Markov kernel (rejections don't move the state): same
+    stationary distribution and acceptance rate as the sequential path."""
+    from typing import NamedTuple
+
+    class LP(NamedTuple):
+        val: jnp.ndarray
+        beta: jnp.ndarray
+
+    mu = jnp.asarray([1.0, -2.0])
+
+    def lp(z):
+        return LP(val=-0.5 * jnp.sum((z - mu) ** 2), beta=jnp.asarray(0.0))
+
+    start = jnp.zeros(2)
+    seq = metropolis(lp, start, jax.random.PRNGKey(0), n_max=4000,
+                     samp_size=3000, alpha_geweke=1.1)
+    spec = metropolis(lp, start, jax.random.PRNGKey(1), n_max=4000,
+                      samp_size=3000, alpha_geweke=1.1, speculative=4)
+    zs_seq = np.asarray(seq.retained(3000)[0])
+    zs_spec = np.asarray(spec.retained(3000)[0])
+    assert np.allclose(zs_spec.mean(0), mu, atol=0.15)
+    assert np.allclose(zs_spec.std(0), 1.0, atol=0.15)
+    a_seq = float(seq.n_accepted) / float(seq.n_proposals)
+    a_spec = float(spec.n_accepted) / float(spec.n_proposals)
+    assert abs(a_seq - a_spec) < 0.05
+    # speculative requires accepted-only recording
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        metropolis(lp, start, jax.random.PRNGKey(2), n_max=100,
+                   samp_size=50, record="all", speculative=4)

@@ -14,6 +14,7 @@ from ccgp_tpu.eval.functions import (
 from ccgp_tpu.infer import kriging_mle
 from ccgp_tpu.models import kriging_predict
 from ccgp_tpu.ops import kernels
+import pytest
 
 
 def test_kriging_predict_interpolates(rng):
@@ -27,6 +28,7 @@ def test_kriging_predict_interpolates(rng):
     assert np.all(np.asarray(pred.var) < 1e-5)
 
 
+@pytest.mark.slow
 def test_kriging_t_interval_width(rng):
     x = jnp.asarray(np.linspace(0, 1, 10)[:, None])
     y = f1d(x[:, 0], 2)

@@ -100,6 +100,7 @@ def test_distributed_train_step(rng):
     assert 0.0 <= float(metrics["acc_rate"]) <= 1.0
 
 
+@pytest.mark.slow
 def test_sim_2d_sweep_mesh_matches_single():
     """The CLI-exposed sweep (designs sharded over the mesh) returns the
     same per-design results as the unsharded run."""

@@ -10,6 +10,7 @@ from ccgp_tpu.models import (
 )
 from ccgp_tpu.ops import kernels
 from ccgp_tpu.predict import predictive_moments, posterior_predict
+import pytest
 
 
 def _data(rng, n=10):
@@ -27,6 +28,7 @@ def _fast_fit(spec, x, y, **kw):
         **kw)
 
 
+@pytest.mark.slow
 def test_quirk2_unnormalized_cross_changes_prediction(rng):
     """Two-families corr-vec bug: the unnormalized path must scale the
     cross-correlations by (p^2+(1-p)^2) and shift predictions."""

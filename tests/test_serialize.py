@@ -8,8 +8,10 @@ from ccgp_tpu.models import (
 )
 from ccgp_tpu.models.serialize import save_fit, load_fit
 from ccgp_tpu.ops import kernels
+import pytest
 
 
+@pytest.mark.slow
 def test_fit_roundtrip_predicts_identically(tmp_path, rng):
     x = jnp.asarray(rng.uniform(size=(8, 2)))
     y = jnp.sin(6 * x[:, 0])
@@ -30,6 +32,7 @@ def test_fit_roundtrip_predicts_identically(tmp_path, rng):
     assert bool(fit2.mcmc.converged) == bool(fit.mcmc.converged)
 
 
+@pytest.mark.slow
 def test_roundtrip_preserves_all_fields(tmp_path, rng):
     """Every serialized field survives byte-exactly, including the round-2
     chain_ok flag and the Laplace proposal state needed to extend a chain."""
@@ -59,6 +62,7 @@ def test_roundtrip_preserves_all_fields(tmp_path, rng):
     assert int(fit2.mcmc.n_proposals) == int(fit.mcmc.n_proposals)
 
 
+@pytest.mark.slow
 def test_resume_extends_chain_from_checkpoint(tmp_path, rng):
     """Checkpoint/resume the reference never had: a saved fit carries the
     Laplace mode/cov and the last retained draw, so sampling can continue
