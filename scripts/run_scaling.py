@@ -18,7 +18,7 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-SIZES = [100, 256, 512, 1024]
+SIZES = [100, 256, 512, 1024, 2048, 4096]
 
 
 def main():
@@ -60,6 +60,11 @@ def main():
         y = jnp.asarray(y_np, dtype)
         xt = jnp.asarray(xt_np, dtype)
 
+        # candidate batches are vmapped in memory-bounded chunks: a full
+        # 128-wide vmap over n=4096 mixed Grams (2 components + mix) would
+        # need ~26 GB; cap the live Gram workspace near 2 GB
+        bs = max(4, min(128, int(2e9 / (3 * 4 * n * n))))
+
         def fit_predict(x, y, xt):
             mg = jnp.asarray(mle_grid)
             cl = jnp.asarray(cloud)
@@ -68,7 +73,7 @@ def main():
                 r = fam.gram(x, jnp.exp(lt))
                 return profile_nll(linalg.jitter_cholesky(r, jitter), y)
 
-            nlls = jax.vmap(nll)(mg)
+            nlls = jax.lax.map(nll, mg, batch_size=min(bs, len(mle_grid)))
             nlls = jnp.where(jnp.isfinite(nlls), nlls, jnp.inf)
             ch0 = linalg.jitter_cholesky(
                 fam.gram(x, jnp.exp(mg[jnp.argmin(nlls)])), jitter)
@@ -78,14 +83,14 @@ def main():
                               theta2_prior=InverseGamma(5, 16),
                               jitter=jitter)
             neg = lambda z: -lp(z).val
-            vals = jax.vmap(neg)(cl)
+            vals = jax.lax.map(neg, cl, batch_size=bs)
             vals = jnp.where(jnp.isfinite(vals), vals, jnp.inf)
             zb = cl[jnp.argmin(vals)]
             zoom = jnp.asarray((halton(64, 3, start=17) - 0.5)
                                .astype(np.float32))
             for w in (2.0, 0.4):
                 cand = zb[None, :] + w * zoom
-                v2 = jax.vmap(neg)(cand)
+                v2 = jax.lax.map(neg, cand, batch_size=min(bs, 64))
                 v2 = jnp.where(jnp.isfinite(v2), v2, jnp.inf)
                 zb = jnp.where(v2.min() < neg(zb), cand[jnp.argmin(v2)], zb)
             out = lp(zb)

@@ -76,11 +76,13 @@ def main():
     grid_j = jnp.asarray(grid_np)
 
     def scan_fn(grid_rows):
+        # vmap (not lax.map): keeps the whole row sweep visible to XLA's
+        # cost analysis so per-device FLOPs are attributable
         def row_ml(row):
             return marginal_likelihood(spec, x, y, (row[0], row[1]),
                                        (row[2], row[3]), 1.0, nodes,
                                        tau=50.0, jitter=1e-5)
-        return jax.lax.map(row_ml, grid_rows)
+        return jax.vmap(row_ml)(grid_rows)
 
     results = {}
     for ndev in (1, N_DEV):
