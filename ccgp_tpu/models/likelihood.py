@@ -15,6 +15,7 @@ dataflow that the Metropolis kernel treats as a rejection.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -22,7 +23,6 @@ import jax.numpy as jnp
 from ccgp_tpu.models.combination import MixtureSpec, MixParams, mixed_gram, mix_weights, unpack
 from ccgp_tpu.ops import linalg
 from ccgp_tpu.ops.gp import gls_beta, sigma2_mle, profile_nll  # re-export
-from ccgp_tpu.utils import stats
 
 
 class LogPost(NamedTuple):
@@ -55,14 +55,25 @@ def make_logpost(
     y = jnp.asarray(y)
     n = y.shape[-1]
 
+    log2pi = math.log(2.0 * math.pi)
+
     def logpost(z: jnp.ndarray) -> LogPost:
         params, log_jac = unpack(spec, z)
         r = mixed_gram(spec, x, params)
-        chol = linalg.jitter_cholesky(r, jitter)
-        beta = gls_beta(chol, y)
+        # ONE bordered factorization yields the factor, logdet and all
+        # quadratic forms — no triangular solves in this hot path (the
+        # Metropolis loop evaluates this thousands of times sequentially,
+        # and on TPU a batched triangular solve is as latency-bound as the
+        # factorization itself). Algebra identical to gls_beta +
+        # mvn_logpdf_chol: beta = qoy/qoo, quad = qyy - qoy^2/qoo.
+        q = linalg.bordered_cholesky_quadratics(r, y, jitter)
+        chol = q["chol"]
+        beta = q["qoy"] / q["qoo"]
+        quad = q["qyy"] - q["qoy"] ** 2 / q["qoo"]
         _, _, s = mix_weights(params.p)
         log_scale = jnp.log(s * sigma2)
-        loglike = stats.mvn_logpdf_chol(y, beta[..., None], chol, log_scale)
+        loglike = -0.5 * (n * log2pi + q["logdet"] + n * log_scale
+                          + quad * jnp.exp(-log_scale))
 
         log_prior = jnp.zeros_like(loglike)
         if theta1_prior is not None:

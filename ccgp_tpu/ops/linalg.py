@@ -33,6 +33,63 @@ def jitter_cholesky(a: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
     return jnp.linalg.cholesky(a)
 
 
+def bordered_cholesky_quadratics(a: jnp.ndarray, y: jnp.ndarray,
+                                 jitter: float = 0.0) -> dict:
+    """One factorization -> factor + every GP sufficient statistic.
+
+    Factors the bordered matrix  M = [[A, B], [B', c I]]  with B = [y, 1]:
+    its lower Cholesky is [[L, 0], [W', S]] with L L' = A and W = L^{-1} B,
+    so a SINGLE (n+2)-Cholesky yields the factor, logdet A, and the three
+    quadratic forms  qyy = y'A^{-1}y, qoy = 1'A^{-1}y, qoo = 1'A^{-1}1  that
+    every likelihood in the framework consumes (`ops/gp.py`) — with NO
+    triangular solves. On TPU the batched triangular solve is as
+    latency-bound as the factorization itself, so this halves the
+    sequential-depth cost of each log-posterior evaluation (the Metropolis
+    hot loop, Laplace mode searches, grid scans).
+
+    The quadratics are read off the border ROWS of the factor (exact
+    forward substitution — no cancellation against c). The trailing 2x2
+    block may produce NaN when c < quadratics; Cholesky factorizations
+    proceed column-by-column, so those NaNs cannot reach the border rows —
+    c is chosen large enough anyway. A singular A yields NaN pivots that DO
+    propagate into the border rows: downstream `isfinite` checks treat the
+    evaluation as invalid, the framework's usual rejection dataflow.
+
+    a: (..., n, n) PSD; y: (n,) or broadcastable to a's batch. Returns a
+    dict with 'chol' (..., n, n), 'logdet', 'qyy', 'qoy', 'qoo'.
+    """
+    n = a.shape[-1]
+    dtype = a.dtype
+    if jitter:
+        scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
+        a = a + (jitter * scale)[..., None, None] * jnp.eye(n, dtype=dtype)
+    y = jnp.broadcast_to(y, a.shape[:-2] + (n,))
+    ones = jnp.ones_like(y)
+    b = jnp.stack([y, ones], axis=-1)                        # (..., n, 2)
+    # c > max quadratic keeps the trailing 2x2 finite: qyy <= |y|^2/lmin,
+    # and lmin >= jitter * mean-diag for the jittered Gram.
+    lam = max(jitter, 1e-6)
+    c = (jnp.sum(y * y, axis=-1, keepdims=True) + n) / lam   # (..., 1)
+    d = c[..., None] * jnp.eye(2, dtype=dtype)               # (..., 2, 2)
+    m = jnp.concatenate([
+        jnp.concatenate([a, b], axis=-1),
+        jnp.concatenate([jnp.swapaxes(b, -1, -2), d], axis=-1),
+    ], axis=-2)
+    lf = jnp.linalg.cholesky(m)
+    chol = lf[..., :n, :n]
+    wy = lf[..., n, :n]
+    wo = lf[..., n + 1, :n]
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    return {
+        "chol": chol,
+        "logdet": logdet,
+        "qyy": jnp.sum(wy * wy, axis=-1),
+        "qoy": jnp.sum(wy * wo, axis=-1),
+        "qoo": jnp.sum(wo * wo, axis=-1),
+    }
+
+
 def tri_solve(chol: jnp.ndarray, b: jnp.ndarray, lower: bool = True,
               trans: bool = False) -> jnp.ndarray:
     """Batched triangular solve; b may be (..., n) or (..., n, k)."""

@@ -262,17 +262,17 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
         out = _chol_nll_pallas(g, rhs, interpret=interpret)
         logdet, qyy, qoy, qoo = out[:, 0], out[:, 1], out[:, 2], out[:, 3]
     else:
+        # XLA path: ONE bordered factorization per matrix instead of
+        # Cholesky + triangular solve — the border rows of the factor ARE
+        # L^{-1}[y, 1] (ops/linalg.py: bordered_cholesky_quadratics), and
+        # on TPU the batched solve is as latency-bound as the
+        # factorization, so this halves the sequential-depth cost.
         if jitter:
             grams = grams + jitter * jnp.eye(n, dtype=grams.dtype)
-        chol = jnp.linalg.cholesky(grams)
-        rhs = jnp.stack([y, jnp.ones_like(y)], axis=-1)
-        rhs = jnp.broadcast_to(rhs[None], (b, n, 2))
-        w = jax.scipy.linalg.solve_triangular(chol, rhs, lower=True)
-        logdet = 2.0 * jnp.sum(
-            jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
-        qyy = jnp.sum(w[..., 0] * w[..., 0], axis=-1)
-        qoy = jnp.sum(w[..., 0] * w[..., 1], axis=-1)
-        qoo = jnp.sum(w[..., 1] * w[..., 1], axis=-1)
+        from ccgp_tpu.ops import linalg
+
+        q = linalg.bordered_cholesky_quadratics(grams, y, jitter=0.0)
+        logdet, qyy, qoy, qoo = q["logdet"], q["qyy"], q["qoy"], q["qoo"]
     return {"logdet": logdet, "qyy": qyy, "qoy": qoy, "qoo": qoo}
 
 

@@ -5,6 +5,12 @@ vmapped jitted program, the full study loops chunks through the same
 compiled executable, persistent-cached across processes.
 
 Usage: python scripts/run_sim2d_sweep.py [n_designs=100] [func=2] [chunk=20]
+       [model=iso|aniso]
+
+model=aniso runs the anisotropic tied-(1+lambda)theta variant (reference
+`2D Codes and Designs/2D Combined GP Anisotropic Public.R`: per-axis SE
+rates, log theta_k ~ N(-1,1), lambda ~ IG(3,4), 4-parameter posterior)
+over the same shipped Train_Designs.
 """
 from __future__ import annotations
 
@@ -20,6 +26,8 @@ sys.path.insert(0, str(ROOT))
 N_DESIGNS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 FUNC = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 CHUNK = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+MODEL = sys.argv[4] if len(sys.argv) > 4 else "iso"
+assert MODEL in ("iso", "aniso"), MODEL
 
 
 def f_np(xy, code=FUNC):
@@ -46,7 +54,8 @@ def main():
 
     from ccgp_tpu.eval.datasets import load_2d_training_design
     from ccgp_tpu.infer.metropolis import metropolis
-    from ccgp_tpu.models import MixtureSpec, InverseGamma, make_logpost
+    from ccgp_tpu.models import (MixtureSpec, InverseGamma, LogNormal,
+                                 make_logpost)
     from ccgp_tpu.ops import kernels, linalg
     from ccgp_tpu.ops.gp import gls_beta, sigma2_mle, profile_nll
     from ccgp_tpu.predict import build_factors, predictive_moments, posterior_predict
@@ -56,7 +65,16 @@ def main():
     samp_size, net, n_max = 600, 400, 3000
 
     fam = kernels.sqexp_family()
-    spec = MixtureSpec(fam, fam, dim=2)
+    if MODEL == "aniso":
+        spec = MixtureSpec(fam, fam, dim=2, rough="tied", anisotropic=True)
+        start = (1.0, 1.0, 0.0, 0.0)
+        priors = dict(theta1_prior=LogNormal(-1.0, 1.0),
+                      theta2_prior=InverseGamma(3, 4))
+    else:
+        spec = MixtureSpec(fam, fam, dim=2)
+        start = (1.0, 1.0, 0.0)
+        priors = dict(theta1_prior=InverseGamma(3, 2),
+                      theta2_prior=InverseGamma(5, 16))
 
     designs_np = np.stack([load_2d_training_design(i + 1)
                            for i in range(N_DESIGNS)])        # (m, 14, 2)
@@ -81,9 +99,8 @@ def main():
         ch = linalg.jitter_cholesky(fam.gram(x, jnp.exp(mg[jnp.argmin(nlls)])),
                                     jitter)
         s2 = sigma2_mle(ch, y, gls_beta(ch, y))
-        lp = make_logpost(spec, x, y, s2, theta1_prior=InverseGamma(3, 2),
-                          theta2_prior=InverseGamma(5, 16), jitter=jitter)
-        res = metropolis(lp, jnp.asarray([1.0, 1.0, 0.0], dtype), key,
+        lp = make_logpost(spec, x, y, s2, jitter=jitter, **priors)
+        res = metropolis(lp, jnp.asarray(start, dtype), key,
                          n_max=n_max, samp_size=samp_size, alpha_geweke=0.5)
         zs, betas, _ = res.retained(samp_size)
         zs, betas = zs[samp_size - net:], betas[samp_size - net:]
@@ -127,7 +144,8 @@ def main():
 
     lines = [
         "",
-        f"## 2-D simulation sweep (function {FUNC}, {N_DESIGNS} shipped "
+        f"## 2-D {'anisotropic ' if MODEL == 'aniso' else ''}simulation "
+        f"sweep (function {FUNC}, {N_DESIGNS} shipped "
         f"Train_Designs, {n_chunks}x{CHUNK}-lane chunks of one compiled "
         f"program, backend={jax.default_backend()})",
         "",

@@ -58,3 +58,41 @@ def test_batched(rng):
         assert np.allclose(a[i] @ x[i], b[i], atol=1e-8)
     ld = np.asarray(linalg.chol_logdet(ch))
     assert ld.shape == (3,)
+
+
+def test_bordered_quadratics_match_direct(rng):
+    n = 14
+    a = make_psd(rng, n)
+    y = rng.normal(size=(n,))
+    q = linalg.bordered_cholesky_quadratics(jnp.asarray(a), jnp.asarray(y))
+    ai = np.linalg.inv(a)
+    ones = np.ones(n)
+    assert np.isclose(float(q["logdet"]), np.linalg.slogdet(a)[1], rtol=1e-10)
+    assert np.isclose(float(q["qyy"]), y @ ai @ y, rtol=1e-9)
+    assert np.isclose(float(q["qoy"]), ones @ ai @ y, rtol=1e-9)
+    assert np.isclose(float(q["qoo"]), ones @ ai @ ones, rtol=1e-9)
+    # the embedded factor block is exactly chol(A)
+    assert np.allclose(np.asarray(q["chol"]), np.linalg.cholesky(a),
+                       atol=1e-10)
+
+
+def test_bordered_quadratics_batched_and_jitter(rng):
+    n = 8
+    a = np.stack([make_psd(rng, n) for _ in range(4)])
+    y = rng.normal(size=(n,))
+    q = linalg.bordered_cholesky_quadratics(jnp.asarray(a), jnp.asarray(y),
+                                            jitter=1e-8)
+    assert q["qyy"].shape == (4,)
+    for i in range(4):
+        scale = np.mean(np.diag(a[i]))
+        aj = a[i] + 1e-8 * scale * np.eye(n)
+        assert np.isclose(float(q["qyy"][i]),
+                          y @ np.linalg.solve(aj, y), rtol=1e-8)
+
+
+def test_bordered_quadratics_singular_is_nan(rng):
+    # singular Gram -> NaN quadratics -> downstream -inf/reject dataflow
+    a = np.ones((6, 6))
+    y = rng.normal(size=(6,))
+    q = linalg.bordered_cholesky_quadratics(jnp.asarray(a), jnp.asarray(y))
+    assert not bool(jnp.isfinite(q["qyy"]))
