@@ -48,12 +48,17 @@ def bordered_cholesky_quadratics(a: jnp.ndarray, y: jnp.ndarray,
     hot loop, Laplace mode searches, grid scans).
 
     The quadratics are read off the border ROWS of the factor (exact
-    forward substitution — no cancellation against c). The trailing 2x2
-    block may produce NaN when c < quadratics; Cholesky factorizations
-    proceed column-by-column, so those NaNs cannot reach the border rows —
-    c is chosen large enough anyway. A singular A yields NaN pivots that DO
-    propagate into the border rows: downstream `isfinite` checks treat the
-    evaluation as invalid, the framework's usual rejection dataflow.
+    forward substitution — no cancellation against c). c MUST make the
+    whole bordered matrix PSD: on CPU a failed LAPACK potrf NaN-masks the
+    ENTIRE factor (not just trailing columns), so an undersized c would
+    silently reject VALID states. Guarantee: for PSD A,
+    lambda_min(A + jitter*scale*I) >= jitter*scale, and
+    lambda_max(W'W) <= tr(W'W) = qyy + qoo <= (|y|^2 + n) / lambda_min,
+    so c = (|y|^2 + n) / (jitter*scale) keeps c I - W'W PSD. With
+    jitter = 0 the floor is n*eps(dtype): matrices whose lambda_min sits
+    below n*eps are at the dtype's noise floor and NaN out — the
+    framework's documented rejection dataflow (a truly singular A NaNs
+    the leading block regardless of c).
 
     a: (..., n, n) PSD; y: (n,) or broadcastable to a's batch. Returns a
     dict with 'chol' (..., n, n), 'logdet', 'qyy', 'qoy', 'qoo'.
@@ -63,12 +68,12 @@ def bordered_cholesky_quadratics(a: jnp.ndarray, y: jnp.ndarray,
     if jitter:
         scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
         a = a + (jitter * scale)[..., None, None] * jnp.eye(n, dtype=dtype)
+        lam = jitter * scale[..., None]                      # (..., 1)
+    else:
+        lam = n * float(jnp.finfo(dtype).eps)
     y = jnp.broadcast_to(y, a.shape[:-2] + (n,))
     ones = jnp.ones_like(y)
     b = jnp.stack([y, ones], axis=-1)                        # (..., n, 2)
-    # c > max quadratic keeps the trailing 2x2 finite: qyy <= |y|^2/lmin,
-    # and lmin >= jitter * mean-diag for the jittered Gram.
-    lam = max(jitter, 1e-6)
     c = (jnp.sum(y * y, axis=-1, keepdims=True) + n) / lam   # (..., 1)
     d = c[..., None] * jnp.eye(2, dtype=dtype)               # (..., 2, 2)
     m = jnp.concatenate([

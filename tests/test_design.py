@@ -103,9 +103,14 @@ def test_kmedoids_clusters_blobs(rng):
     assert len(np.unique(np.asarray(res.labels))) == 3
 
 
+@pytest.mark.slow
 def test_kmedoids_on_reference_subdesigns():
     """Cluster the shipped 1000 stacked subdesigns (7000 x 2 points) into 7
-    medoids like the reference's k-medoids ME Design construction."""
+    medoids like the reference's k-medoids ME Design construction.
+
+    slow: 8-restart PAM over 7000 points is ~4.5 min on the CPU lane; the
+    cheap blob test above keeps k-medoids in the default lane, and this
+    exact-reproduction golden runs under RUN_SLOW=1."""
     sub = load_design_txt("All_Subdesigns", header=True)
     assert sub.shape == (7000, 2)
     res = kmedoids(jnp.asarray(sub), 7, jax.random.PRNGKey(3), n_iters=40,
