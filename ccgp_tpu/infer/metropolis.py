@@ -86,6 +86,7 @@ def metropolis(
     max_proposals: int | None = None,
     laplace_fit: LaplaceFit | None = None,
     speculative: int = 0,
+    logpost_batch: Callable | None = None,
 ) -> MetropolisResult:
     """Run one chain. `logpost(z)` must return an object with `.val` (scalar
     log-posterior; -inf for invalid) and `.beta`.
@@ -106,6 +107,12 @@ def metropolis(
     trade: one wide batched factorization instead of ~1/acc_rate
     latency-bound sequential ones). Requires record='accepted' (rejections
     are never recorded, so discarding unused candidates loses nothing).
+
+    logpost_batch: optional f(Z (K, dim)) -> (vals (K,), betas (K,)) used
+    by the speculative body instead of `jax.vmap(logpost)`. Pass
+    `models.likelihood.make_logpost_batch(...)` so the K factorizations
+    reach the small-batch Pallas kernel as one explicit batch (a vmap of a
+    Pallas call serializes matrices across grid programs).
     """
     if record not in ("accepted", "all"):
         raise ValueError(record)
@@ -178,8 +185,11 @@ def metropolis(
         eps = jax.random.normal(k1, (K, dim), dtype)
         cands = z[None, :] + eps @ prop_chol.T
         # one batched Cholesky sweep; keep only (val, beta) per candidate
-        vals, betas = jax.vmap(
-            lambda c: (lambda o: (o.val, o.beta))(logpost(c)))(cands)
+        if logpost_batch is not None:
+            vals, betas = logpost_batch(cands)
+        else:
+            vals, betas = jax.vmap(
+                lambda c: (lambda o: (o.val, o.beta))(logpost(c)))(cands)
         log_u = jnp.log(jax.random.uniform(k2, (K,), dtype=dtype))
         acc = (vals - lp_val) > log_u
         any_acc = jnp.any(acc)

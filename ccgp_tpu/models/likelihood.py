@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ccgp_tpu.models.combination import MixtureSpec, MixParams, mixed_gram, mix_weights, unpack
@@ -92,3 +93,64 @@ def make_logpost(
         return LogPost(val=val, beta=beta, chol=chol, params=params)
 
     return logpost
+
+
+def make_logpost_batch(
+    spec: MixtureSpec,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    sigma2,
+    theta1_prior=None,
+    theta2_prior=None,
+    p_prior=None,
+    jitter: float = 0.0,
+):
+    """Batched sibling of `make_logpost`: f(Z (K, dim)) -> (vals, betas).
+
+    Same math, but the K Gram factorizations go through the
+    `chol_quadratics` dispatcher as ONE explicit batch instead of a vmap of
+    single evaluations. That routing matters on TPU: `jax.vmap` of a Pallas
+    call serializes matrices across grid programs, while the small-K
+    latency kernel (`ops/pallas_chol_smallk.py`) factorizes all K
+    simultaneously — this is the hot evaluation inside the speculative
+    Metropolis loop (`infer/metropolis.py` body_spec, K sequential-depth-
+    critical calls per round).
+
+    Only (val, beta) are returned — exactly what the sampler consumes;
+    rejected candidates' factors are never materialized.
+    """
+    from ccgp_tpu.ops.pallas_chol import chol_quadratics
+
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    log2pi = math.log(2.0 * math.pi)
+
+    def logpost_batch(zs: jnp.ndarray):
+        params, log_jac = jax.vmap(lambda z: unpack(spec, z))(zs)
+        r = jax.vmap(lambda p: mixed_gram(spec, x, p))(params)    # (K, n, n)
+        # R_mix is a correlation matrix (unit diagonal), so the
+        # dispatcher's absolute jitter equals make_logpost's
+        # mean-diagonal-relative jitter exactly.
+        q = chol_quadratics(r, y, jitter=jitter)
+        beta = q["qoy"] / q["qoo"]
+        quad = q["qyy"] - q["qoy"] ** 2 / q["qoo"]
+        _, _, s = mix_weights(params.p)
+        log_scale = jnp.log(s * sigma2)
+        loglike = -0.5 * (n * log2pi + q["logdet"] + n * log_scale
+                          + quad * jnp.exp(-log_scale))
+
+        log_prior = jnp.zeros_like(loglike)
+        if theta1_prior is not None:
+            lp1 = theta1_prior.log_kernel(params.theta1)
+            log_prior = log_prior + (jnp.sum(lp1, axis=-1)
+                                     if spec.anisotropic else lp1)
+        if theta2_prior is not None:
+            log_prior = log_prior + theta2_prior.log_kernel(params.theta2)
+        if p_prior is not None:
+            log_prior = log_prior + p_prior.log_kernel(params.p)
+
+        val = loglike + log_jac + log_prior
+        val = jnp.where(jnp.isfinite(val), val, -jnp.inf)
+        return val, beta
+
+    return logpost_batch

@@ -244,10 +244,14 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
     128x128): XLA's batched Cholesky+solve runs ~13.5 us/matrix; the
     per-matrix Pallas kernels in this module reach only ~55-71 us/matrix;
     the LANE-BATCHED kernel (pallas_chol_lanes, batch across VPU lanes)
-    reaches ~9.2 us/matrix. Default (use_pallas=None): the lanes kernel on
-    TPU for batches >= 64 and n <= 128 (its tile limit), XLA otherwise.
-    use_pallas=True forces this module's per-matrix kernel (kept as a
-    tested exploration baseline).
+    reaches ~9.2 us/matrix. For LATENCY-critical small batches the
+    SMALL-K kernel (pallas_chol_smallk, all K matrices factorized
+    simultaneously, fully unrolled) cuts the speculative-Metropolis
+    round by ~2x vs the XLA path (bench.py full-Bayes 168 -> 90 ms).
+    Default (use_pallas=None) on TPU with n <= 128: batches >= 64 ->
+    lanes kernel, batches <= 16 -> small-K kernel, else XLA; always XLA
+    on other backends or n > 128. use_pallas=True forces this module's
+    per-matrix kernel (kept as a tested exploration baseline).
     """
     if use_pallas is None:
         if (jax.default_backend() == "tpu" and grams.shape[0] >= 64
@@ -255,6 +259,11 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
             from ccgp_tpu.ops.pallas_chol_lanes import chol_quadratics_lanes
 
             return chol_quadratics_lanes(grams, y, jitter=jitter)
+        if (jax.default_backend() == "tpu" and grams.shape[0] <= 16
+                and grams.shape[1] <= TILE):
+            from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
+
+            return chol_quadratics_smallk(grams, y, jitter=jitter)
         use_pallas = False
     b, n, _ = grams.shape
     if use_pallas:

@@ -1,0 +1,149 @@
+"""Latency-optimized Cholesky + quadratics for SMALL batches (K <= ~16).
+
+The Metropolis hot loop evaluates a K-candidate batched log-posterior
+(K = 4 speculative proposals, `infer/metropolis.py`) thousands of times
+*sequentially* — the wall-clock floor of the full-Bayesian fit is K-batched
+Cholesky LATENCY, not throughput. The two existing kernels cover the wrong
+regimes for that:
+
+* `pallas_chol_lanes` (batch across 128 VPU lanes) has per-KERNEL latency
+  ~1.2 ms — its (n, n, 128)-wide update costs the same whether 4 or 128
+  lanes carry real matrices; only wide scans amortize it.
+* XLA's batched Cholesky is blocked + panel-recursive per matrix; at K=4 a
+  single factorization's sequential depth dominates.
+
+Here ALL K matrices are factorized simultaneously by ONE program with the
+batch on the LEADING (untiled) axis: each right-looking step extracts the
+pivot column of every matrix and applies K rank-1 downdates as a single
+(K, n, n) vector op — (K/8)x fewer tile-ops per step than the lanes layout,
+with no per-matrix grid serialization.
+
+The trailing submatrix stays SYMMETRIC through right-looking downdates, so
+the pivot column is extracted TWICE — as a lane-masked reduce (giving the
+sublane orientation) and a sublane-masked reduce (lane orientation) — and
+the rank-1 update is the broadcast product of the two: no in-kernel
+transpose, which Mosaic lowers badly. Forward substitution for the [y, 1]
+right-hand sides is fused into the same loop (step j consumes exactly the
+column step j produced), yielding {logdet, y'R^-1 y, 1'R^-1 y, 1'R^-1 1}
+directly — the full sufficient statistic for every likelihood in the
+framework (`ops/gp.py`), same contract as `chol_quadratics`.
+
+The factorization loop runs the STATIC unpadded n (not the 128 pad): the
+identity pad block contributes nothing to the quadratics and skipping it
+saves (128 - n) dead steps of the latency-critical recurrence.
+
+Non-PSD inputs surface as NaN (sqrt/rsqrt of a negative pivot), matching
+the framework's NaN-as-rejection dataflow.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+TILE = 128
+
+
+def _make_kernel(n: int, nk: int):
+    def _kernel(gram_ref, ry_ref, ro_ref, out_ref):
+        m = gram_ref[...]          # (K, N, N) — trailing block stays symmetric
+        ry = ry_ref[...]           # (K, 1, N)
+        ro = ro_ref[...]           # (K, 1, N)
+        dtype = m.dtype
+        kk = m.shape[0]
+
+        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, TILE, 1), 1)
+        iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+
+        def step(j, carry):
+            m, ld, ry, ro, wy, wo = carry
+            # pivot column j in both orientations (trailing block symmetric)
+            crow = jnp.sum(jnp.where(iilane == j, m, 0.0), axis=2,
+                           keepdims=True)                       # (K, N, 1)
+            clane = jnp.sum(jnp.where(iirow == j, m, 0.0), axis=1,
+                            keepdims=True)                      # (K, 1, N)
+            d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                         keepdims=True)                         # (K, 1, 1)
+            dinv = jax.lax.rsqrt(d2)
+            ld = ld + jnp.log(d2)
+            lrow = jnp.where(iirow > j, crow, 0.0) * dinv       # (K, N, 1)
+            llane = jnp.where(iilane > j, clane, 0.0) * dinv    # (K, 1, N)
+            m = m - lrow * llane
+            # fused forward substitution: w_j = (r_j) / d, r -= l_col * w_j
+            rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                          keepdims=True) * dinv                 # (K, 1, 1)
+            rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                          keepdims=True) * dinv
+            wy = jnp.where(iilane == j, rjy, wy)
+            wo = jnp.where(iilane == j, rjo, wo)
+            ry = ry - llane * rjy
+            ro = ro - llane * rjo
+            return m, ld, ry, ro, wy, wo
+
+        zero_v = jnp.zeros((kk, 1, TILE), dtype)
+        m, ld, _, _, wy, wo = jax.lax.fori_loop(
+            0, n, step,
+            (m, jnp.zeros((kk, 1, 1), dtype), ry, ro, zero_v, zero_v),
+            unroll=n)
+
+        qyy = jnp.sum(wy * wy, axis=2, keepdims=True)           # (K, 1, 1)
+        qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+        qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+        out_ref[...] = jnp.where(
+            lane == 0, ld, jnp.where(
+                lane == 1, qyy, jnp.where(
+                    lane == 2, qoy, jnp.where(lane == 3, qoo, 0.0))))
+
+    return _kernel
+
+
+def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
+                           jitter: float = 0.0,
+                           interpret: bool = False) -> dict:
+    """Batched {logdet, qyy, qoy, qoo}; grams (K, n, n), n <= 128, K small.
+
+    One kernel invocation factorizes all K matrices simultaneously; use
+    for latency-critical small batches — the `chol_quadratics` dispatcher
+    routes K <= 16 here on TPU (VMEM holds (K, 128, 128) f32 = 64 KiB per
+    matrix; by K ~ 32 XLA's throughput catches up and wide batches belong
+    to the lanes kernel). The factorization loop is FULLY unrolled in the
+    kernel (Mosaic supports only unroll=1 or full): ~1.4x faster than the
+    rolled loop (bench.py full-Bayes 129 -> 90 ms) at the cost of
+    per-(n, K)-shape compile time, amortized by the persistent cache.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, _ = grams.shape
+    dtype = grams.dtype
+    if n > TILE:
+        raise ValueError(f"n must be <= {TILE}")
+    if jitter:
+        grams = grams + jitter * jnp.eye(n, dtype=dtype)
+    pad = TILE - n
+    if pad:
+        # pad with identity so padded pivots are 1 even though the loop
+        # never reaches them (keeps the block PSD for debuggability)
+        eye_pad = jnp.eye(TILE, dtype=dtype)[n:]
+        grams = jnp.concatenate([
+            jnp.concatenate([grams, jnp.zeros((b, n, pad), dtype)], 2),
+            jnp.broadcast_to(eye_pad, (b, pad, TILE)),
+        ], 1)
+    ypad = jnp.concatenate([y.astype(dtype), jnp.zeros((pad,), dtype)])
+    opad = jnp.concatenate([jnp.ones((n,), dtype), jnp.zeros((pad,), dtype)])
+    ry = jnp.broadcast_to(ypad[None, None, :], (b, 1, TILE))
+    ro = jnp.broadcast_to(opad[None, None, :], (b, 1, TILE))
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        _make_kernel(n, b),
+        out_shape=jax.ShapeDtypeStruct((b, 1, TILE), dtype),
+        interpret=interpret,
+        **kwargs,
+    )(grams, ry, ro)
+    flat = out[:, 0, :]                                        # (K, 128)
+    return {"logdet": flat[:, 0], "qyy": flat[:, 1],
+            "qoy": flat[:, 2], "qoo": flat[:, 3]}

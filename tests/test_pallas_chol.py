@@ -150,3 +150,82 @@ def test_tpu_dispatch_guard_large_n(rng, monkeypatch):
     want = chol_quadratics(grams, y, jitter=1e-6, use_pallas=False)
     for k in q:
         assert np.allclose(np.asarray(q[k]), np.asarray(want[k])), k
+
+
+def test_smallk_interpret_matches_xla(rng):
+    """Latency kernel (pallas_chol_smallk) parity on the Metropolis
+    hot-loop shape: K=4 speculative candidates, padded n."""
+    from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
+
+    grams, y = _batch(rng, b=4, n=33)
+    qx = chol_quadratics(grams, y, jitter=1e-8, use_pallas=False)
+    qs = chol_quadratics_smallk(grams, y, jitter=1e-8, interpret=True)
+    for k in qx:
+        assert np.allclose(np.asarray(qx[k]), np.asarray(qs[k]),
+                           rtol=2e-6), k
+
+
+def test_smallk_singular_nan(rng):
+    """Singular Gram -> NaN quadratics (rejection dataflow), not garbage."""
+    from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
+
+    grams = jnp.broadcast_to(jnp.ones((6, 6)), (2, 6, 6))
+    y = jnp.asarray(rng.normal(size=6))
+    q = chol_quadratics_smallk(grams, y, interpret=True)
+    assert not np.any(np.isfinite(np.asarray(q["qyy"])))
+
+
+def test_smallk_dispatch_boundaries(rng, monkeypatch):
+    """TPU auto-dispatch routing: B <= 16 -> small-K latency kernel,
+    B >= 64 -> lanes kernel, in between -> XLA; n > 128 never reaches a
+    Pallas kernel."""
+    import ccgp_tpu.ops.pallas_chol_lanes as lanes_mod
+    import ccgp_tpu.ops.pallas_chol_smallk as smallk_mod
+    from ccgp_tpu.ops import pallas_chol as pc
+
+    calls = []
+    real_smallk = smallk_mod.chol_quadratics_smallk
+    real_lanes = lanes_mod.chol_quadratics_lanes
+
+    def spy_smallk(grams, y, jitter=0.0, interpret=False):
+        calls.append(("smallk", grams.shape[0]))
+        return real_smallk(grams, y, jitter=jitter, interpret=True)
+
+    def spy_lanes(grams, y, jitter=0.0, interpret=False):
+        calls.append(("lanes", grams.shape[0]))
+        return real_lanes(grams, y, jitter=jitter, interpret=True)
+
+    monkeypatch.setattr(smallk_mod, "chol_quadratics_smallk", spy_smallk)
+    monkeypatch.setattr(lanes_mod, "chol_quadratics_lanes", spy_lanes)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    grams, y = _batch(rng, b=4, n=20)
+    q4 = chol_quadratics(grams, y, jitter=1e-8)
+    grams32 = jnp.concatenate([grams] * 8)
+    q32 = chol_quadratics(grams32, y, jitter=1e-8)
+    want = chol_quadratics(grams, y, jitter=1e-8, use_pallas=False)
+    assert calls == [("smallk", 4)]            # 32 went to XLA, 4 to smallk
+    for k in want:
+        assert np.allclose(np.asarray(q4[k]), np.asarray(want[k]),
+                           rtol=2e-6), k
+
+
+def test_logpost_batch_matches_vmapped_logpost(rng):
+    """make_logpost_batch == vmap(make_logpost) on the XLA path (the
+    speculative Metropolis body consumes the batched form)."""
+    from ccgp_tpu.models import MixtureSpec, InverseGamma
+    from ccgp_tpu.models.likelihood import make_logpost, make_logpost_batch
+
+    x = jnp.asarray(rng.uniform(size=(15, 2)))
+    y = jnp.sin(4 * x[:, 0]) + x[:, 1]
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=2)
+    kw = dict(theta1_prior=InverseGamma(3, 2),
+              theta2_prior=InverseGamma(5, 16), jitter=1e-8)
+    lp = make_logpost(spec, x, y, 1.3, **kw)
+    lpb = make_logpost_batch(spec, x, y, 1.3, **kw)
+    zs = jnp.asarray(rng.normal(size=(5, 3)))
+    import jax as _jax
+    want = _jax.vmap(lambda z: (lambda o: (o.val, o.beta))(lp(z)))(zs)
+    got = lpb(zs)
+    assert np.allclose(np.asarray(got[0]), np.asarray(want[0]), rtol=1e-9)
+    assert np.allclose(np.asarray(got[1]), np.asarray(want[1]), rtol=1e-9)
