@@ -209,12 +209,15 @@ def main():
     # ------------------------------------------------------------------
     from ccgp_tpu.models import MCMCConfig, fit_combined_gp, predict_combined_gp
 
-    # speculative=4: per loop iteration, 8 candidate proposals from the
-    # current state are evaluated as ONE batched Cholesky and consumed up
-    # to the first acceptance — the identical Markov kernel (rejections
-    # don't move the state), fewer latency-bound loop iterations at
-    # the chain's ~0.16 acceptance rate (K=4 measured fastest: 238 ms vs
-    # 437 sequential; K=8/16 pay more per batched Cholesky than they save) (infer/metropolis.py)
+    # speculative=4: per loop iteration, 4 candidate proposals from the
+    # current state are evaluated as ONE batched Gram-fused Pallas
+    # Cholesky (ops/pallas_chol_smallk.py) and consumed up to the first
+    # acceptance — the identical Markov kernel (rejections don't move the
+    # state), fewer latency-bound loop iterations at the chain's ~0.16
+    # acceptance rate. Sequential: 284 ms; K=4: 90 ms. K=8/16 cost less
+    # per recorded draw (~67 vs ~84 us) but a different RNG stream changes
+    # where Geweke stops this seed's chain (K=8 ran 1980 draws -> 134 ms),
+    # so the fixed-seed workload keeps K=4 (infer/metropolis.py).
     bayes_cfg = MCMCConfig(start=(1.0, 1.0, 0.0, 0.0), n_max=5000,
                            samp_size=1000, net_samp_size=1000,
                            speculative=4)

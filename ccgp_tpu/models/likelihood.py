@@ -21,7 +21,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ccgp_tpu.models.combination import MixtureSpec, MixParams, mixed_gram, mix_weights, unpack
+from ccgp_tpu.models.combination import (
+    MixtureSpec, MixParams, _effective_rates, mixed_gram, mix_weights, unpack)
 from ccgp_tpu.ops import linalg
 from ccgp_tpu.ops.gp import gls_beta, sigma2_mle, profile_nll  # re-export
 
@@ -125,13 +126,32 @@ def make_logpost_batch(
     n = y.shape[-1]
     log2pi = math.log(2.0 * math.pi)
 
+    n_dim = x.shape[-1]
+    se_mix = (spec.kernel1.raw_kind == "sqdist"
+              and spec.kernel2.raw_kind == "sqdist")
+
     def logpost_batch(zs: jnp.ndarray):
         params, log_jac = jax.vmap(lambda z: unpack(spec, z))(zs)
-        r = jax.vmap(lambda p: mixed_gram(spec, x, p))(params)    # (K, n, n)
-        # R_mix is a correlation matrix (unit diagonal), so the
-        # dispatcher's absolute jitter equals make_logpost's
-        # mean-diagonal-relative jitter exactly.
-        q = chol_quadratics(r, y, jitter=jitter)
+        kk = zs.shape[0]
+        if (se_mix and jax.default_backend() == "tpu"
+                and x.shape[-2] <= 128 and kk <= 16):
+            # SE mixture: build the Gram INSIDE the latency kernel — the
+            # per-axis sq-diff stack is a loop invariant, so each round
+            # ships only the (K, d) rate rows (no Gram in HBM at all)
+            from ccgp_tpu.ops.pallas_chol_smallk import (
+                fused_mix_quadratics_smallk)
+
+            th1, th2 = _effective_rates(spec, params, predict=False)
+            r1 = jnp.broadcast_to(jnp.reshape(th1, (kk, -1)), (kk, n_dim))
+            r2 = jnp.broadcast_to(jnp.reshape(th2, (kk, -1)), (kk, n_dim))
+            q = fused_mix_quadratics_smallk(x, y, r1, r2, params.p,
+                                            jitter=jitter)
+        else:
+            r = jax.vmap(lambda p: mixed_gram(spec, x, p))(params)  # (K,n,n)
+            # R_mix is a correlation matrix (unit diagonal), so the
+            # dispatcher's absolute jitter equals make_logpost's
+            # mean-diagonal-relative jitter exactly.
+            q = chol_quadratics(r, y, jitter=jitter)
         beta = q["qoy"] / q["qoo"]
         quad = q["qyy"] - q["qoy"] ** 2 / q["qoo"]
         _, _, s = mix_weights(params.p)

@@ -51,43 +51,7 @@ def _make_kernel(n: int, nk: int):
         dtype = m.dtype
         kk = m.shape[0]
 
-        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, TILE, 1), 1)
-        iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
-
-        def step(j, carry):
-            m, ld, ry, ro, wy, wo = carry
-            # pivot column j in both orientations (trailing block symmetric)
-            crow = jnp.sum(jnp.where(iilane == j, m, 0.0), axis=2,
-                           keepdims=True)                       # (K, N, 1)
-            clane = jnp.sum(jnp.where(iirow == j, m, 0.0), axis=1,
-                            keepdims=True)                      # (K, 1, N)
-            d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
-                         keepdims=True)                         # (K, 1, 1)
-            dinv = jax.lax.rsqrt(d2)
-            ld = ld + jnp.log(d2)
-            lrow = jnp.where(iirow > j, crow, 0.0) * dinv       # (K, N, 1)
-            llane = jnp.where(iilane > j, clane, 0.0) * dinv    # (K, 1, N)
-            m = m - lrow * llane
-            # fused forward substitution: w_j = (r_j) / d, r -= l_col * w_j
-            rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
-                          keepdims=True) * dinv                 # (K, 1, 1)
-            rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
-                          keepdims=True) * dinv
-            wy = jnp.where(iilane == j, rjy, wy)
-            wo = jnp.where(iilane == j, rjo, wo)
-            ry = ry - llane * rjy
-            ro = ro - llane * rjo
-            return m, ld, ry, ro, wy, wo
-
-        zero_v = jnp.zeros((kk, 1, TILE), dtype)
-        m, ld, _, _, wy, wo = jax.lax.fori_loop(
-            0, n, step,
-            (m, jnp.zeros((kk, 1, 1), dtype), ry, ro, zero_v, zero_v),
-            unroll=n)
-
-        qyy = jnp.sum(wy * wy, axis=2, keepdims=True)           # (K, 1, 1)
-        qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
-        qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+        ld, qyy, qoy, qoo = _chol_quad_core(m, ry, ro, n, kk, dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
         out_ref[...] = jnp.where(
             lane == 0, ld, jnp.where(
@@ -95,6 +59,57 @@ def _make_kernel(n: int, nk: int):
                     lane == 2, qoy, jnp.where(lane == 3, qoo, 0.0))))
 
     return _kernel
+
+
+def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
+    """Shared factorization + fused substitution core.
+
+    Measured formulation notes (v5e, n=100, K=4, full fit timing):
+    * masked-reduce extraction in a FULLY UNROLLED fori_loop: 45.7 ms —
+      the winner, used here;
+    * same but one extraction + (1, N) -> (N, 1) vector swapaxes: 93 ms
+      (Mosaic lowers even vector transposes pathologically);
+    * Python loop with STATIC pivot slices m[:, j:j+1, :] and scalar
+      quadratic accumulators: 54.7 ms and 174 s Mosaic compile —
+      arbitrary-offset slices relayout worse than masked full-tile reduces.
+    """
+    iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, TILE, 1), 1)
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+
+    def step(j, carry):
+        m, ld, ry, ro, wy, wo = carry
+        # pivot column j in both orientations (trailing block symmetric)
+        crow = jnp.sum(jnp.where(iilane == j, m, 0.0), axis=2,
+                       keepdims=True)                       # (K, N, 1)
+        clane = jnp.sum(jnp.where(iirow == j, m, 0.0), axis=1,
+                        keepdims=True)                      # (K, 1, N)
+        d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                     keepdims=True)                         # (K, 1, 1)
+        dinv = jax.lax.rsqrt(d2)
+        ld = ld + jnp.log(d2)
+        lrow = jnp.where(iirow > j, crow, 0.0) * dinv       # (K, N, 1)
+        llane = jnp.where(iilane > j, clane, 0.0) * dinv    # (K, 1, N)
+        m = m - lrow * llane
+        # fused forward substitution: w_j = r_j / d, r -= l_col * w_j
+        rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                      keepdims=True) * dinv                 # (K, 1, 1)
+        rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                      keepdims=True) * dinv
+        wy = jnp.where(iilane == j, rjy, wy)
+        wo = jnp.where(iilane == j, rjo, wo)
+        ry = ry - llane * rjy
+        ro = ro - llane * rjo
+        return m, ld, ry, ro, wy, wo
+
+    zero_v = jnp.zeros((kk, 1, TILE), dtype)
+    m, ld, _, _, wy, wo = jax.lax.fori_loop(
+        0, n, step,
+        (m, jnp.zeros((kk, 1, 1), dtype), ry, ro, zero_v, zero_v),
+        unroll=n)
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)           # (K, 1, 1)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+    return ld, qyy, qoy, qoo
 
 
 def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
@@ -145,5 +160,108 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
         **kwargs,
     )(grams, ry, ro)
     flat = out[:, 0, :]                                        # (K, 128)
+    return {"logdet": flat[:, 0], "qyy": flat[:, 1],
+            "qoy": flat[:, 2], "qoo": flat[:, 3]}
+
+
+def _make_fused_kernel(n: int, ndim: int, jitter: float):
+    def _kernel(d2_ref, r1_ref, r2_ref, p_ref, ry_ref, ro_ref, out_ref):
+        d2 = d2_ref[...]           # (ndim, N, N) shared sq-diff stack
+        r1 = r1_ref[...]           # (K, 1, N): rates in the first ndim lanes
+        r2 = r2_ref[...]
+        pv = p_ref[...][:, :, 0:1]                              # (K, 1, 1)
+        ry = ry_ref[...]
+        ro = ro_ref[...]
+        dtype = r1.dtype
+        kk = r1.shape[0]
+
+        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, TILE, 1), 1)
+        iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+
+        # ---- SE mixture Gram in VMEM (d-axis contraction unrolled) -------
+        dist1 = jnp.zeros((kk, TILE, TILE), dtype)
+        dist2 = jnp.zeros((kk, TILE, TILE), dtype)
+        for k in range(ndim):
+            d2k = d2[k][None]                                   # (1, N, N)
+            dist1 = dist1 + d2k * r1[:, :, k:k + 1]
+            dist2 = dist2 + d2k * r2[:, :, k:k + 1]
+        w1 = pv * pv
+        w2 = (1.0 - pv) * (1.0 - pv)
+        rmix = (w1 * jnp.exp(-dist1) + w2 * jnp.exp(-dist2)) / (w1 + w2)
+        real = (iirow < n) & (iilane < n)
+        eye = (iirow == iilane).astype(dtype)
+        m = jnp.where(real, rmix, eye)
+        if jitter:
+            m = m + jnp.where(real & (iirow == iilane),
+                              jnp.asarray(jitter, dtype), 0.0)
+
+        # ---- shared factorization + substitution core --------------------
+        ld, qyy, qoy, qoo = _chol_quad_core(m, ry, ro, n, kk, dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+        out_ref[...] = jnp.where(
+            lane == 0, ld, jnp.where(
+                lane == 1, qyy, jnp.where(
+                    lane == 2, qoy, jnp.where(lane == 3, qoo, 0.0))))
+
+    return _kernel
+
+
+def fused_mix_quadratics_smallk(
+    x: jnp.ndarray,            # (n, d) training inputs
+    y: jnp.ndarray,            # (n,)
+    r1: jnp.ndarray,           # (K, d) smooth SE rates
+    r2: jnp.ndarray,           # (K, d) rough SE rates
+    p: jnp.ndarray,            # (K,) mixing weights
+    jitter: float = 0.0,
+    interpret: bool = False,
+) -> dict:
+    """{logdet, qyy, qoy, qoo} for the SE convex-combination correlation
+    R_b = (p_b^2 e^{-D1_b} + (1-p_b)^2 e^{-D2_b}) / (p_b^2 + (1-p_b)^2),
+    D_i = sum_k r_i[k] (x_k - x_k')^2, built ENTIRELY in VMEM.
+
+    Latency sibling of `pallas_gram_chol.fused_mix_quadratics`: in the
+    speculative-Metropolis round the Gram construction is a separate XLA
+    kernel chain whose launch latency rivals the factorization; fusing it
+    removes that stage and the (K, n, n) HBM round-trip. The per-axis
+    squared-difference stack d2 is a loop invariant XLA hoists out of the
+    sampling while-loop, so each round ships only (K, d) rate rows.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = x.shape
+    kk = r1.shape[0]
+    dtype = x.dtype
+    if n > TILE:
+        raise ValueError(f"n must be <= {TILE}")
+    if d > TILE:
+        raise ValueError(f"d must be <= {TILE}")
+    diffs = x[:, None, :] - x[None, :, :]                  # (n, n, d)
+    d2 = jnp.transpose(diffs * diffs, (2, 0, 1))           # (d, n, n)
+    d2 = jnp.pad(d2, ((0, 0), (0, TILE - n), (0, TILE - n)))
+
+    def lanes_rates(r):
+        r = jnp.broadcast_to(jnp.asarray(r, dtype), (kk, d))
+        return jnp.pad(r, ((0, 0), (0, TILE - d)))[:, None, :]
+
+    pv = jnp.broadcast_to(jnp.asarray(p, dtype)[:, None, None],
+                          (kk, 1, TILE))
+    ypad = jnp.concatenate([y.astype(dtype), jnp.zeros((TILE - n,), dtype)])
+    opad = jnp.concatenate([jnp.ones((n,), dtype),
+                            jnp.zeros((TILE - n,), dtype)])
+    ry = jnp.broadcast_to(ypad[None, None, :], (kk, 1, TILE))
+    ro = jnp.broadcast_to(opad[None, None, :], (kk, 1, TILE))
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        _make_fused_kernel(n, d, float(jitter)),
+        out_shape=jax.ShapeDtypeStruct((kk, 1, TILE), dtype),
+        interpret=interpret,
+        **kwargs,
+    )(d2, lanes_rates(r1), lanes_rates(r2), pv, ry, ro)
+    flat = out[:, 0, :]
     return {"logdet": flat[:, 0], "qyy": flat[:, 1],
             "qoy": flat[:, 2], "qoo": flat[:, 3]}

@@ -229,3 +229,34 @@ def test_logpost_batch_matches_vmapped_logpost(rng):
     got = lpb(zs)
     assert np.allclose(np.asarray(got[0]), np.asarray(want[0]), rtol=1e-9)
     assert np.allclose(np.asarray(got[1]), np.asarray(want[1]), rtol=1e-9)
+
+
+def test_fused_smallk_matches_mixed_gram(rng):
+    """Gram-fused latency kernel == mixed_gram + XLA quadratics, for both
+    the isotropic and the anisotropic tied-lambda SE mixtures."""
+    from ccgp_tpu.models import MixtureSpec
+    from ccgp_tpu.models.combination import (
+        _effective_rates, mixed_gram, unpack)
+    from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_quadratics_smallk
+    import jax as _jax
+
+    x = jnp.asarray(rng.uniform(size=(23, 2)))
+    y = jnp.asarray(np.sin(5 * np.asarray(x[:, 0])))
+    for spec, dimz in [
+        (MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
+                     dim=2), 3),
+        (MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
+                     dim=2, rough="tied", anisotropic=True), 4),
+    ]:
+        zs = jnp.asarray(rng.normal(size=(4, dimz)))
+        params, _ = _jax.vmap(lambda z: unpack(spec, z))(zs)
+        th1, th2 = _effective_rates(spec, params, predict=False)
+        r1 = jnp.broadcast_to(jnp.reshape(th1, (4, -1)), (4, 2))
+        r2 = jnp.broadcast_to(jnp.reshape(th2, (4, -1)), (4, 2))
+        qf = fused_mix_quadratics_smallk(x, y, r1, r2, params.p,
+                                         jitter=1e-8, interpret=True)
+        grams = _jax.vmap(lambda p: mixed_gram(spec, x, p))(params)
+        qx = chol_quadratics(grams, y, jitter=1e-8, use_pallas=False)
+        for k in qx:
+            assert np.allclose(np.asarray(qf[k]), np.asarray(qx[k]),
+                               rtol=1e-6), (spec.rough, k)
