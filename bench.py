@@ -233,6 +233,12 @@ def main():
                 fit.mcmc.n_recorded, fit.mcmc.n_proposals, fit.sigma2)
 
     bayes_j = jax.jit(bayes_fit_predict)
+    # threefry PRNGKey(7): the stream this metric has used since round 1,
+    # kept for continuity — the headline depends on where Geweke stops
+    # THIS chain (1060 draws). An rbg key (XLA RngBitGenerator) makes each
+    # round ~6 us cheaper (measured 77 vs 84 us/recorded-draw) but is a
+    # different stream, i.e. a different chain; callers wanting raw speed
+    # should pass jax.random.key(seed, impl="rbg") to fit_combined_gp.
     key = jax.random.PRNGKey(7)
     bres = jax.block_until_ready(bayes_j(x, y, grid, key))  # compile
 

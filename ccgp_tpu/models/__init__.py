@@ -14,6 +14,7 @@ from ccgp_tpu.models.likelihood import (
     profile_nll,
     LogPost,
     make_logpost,
+    make_logpost_batch,
 )
 from ccgp_tpu.models.kriging import kriging_predict, KrigingPrediction
 from ccgp_tpu.models.composite_gp import (

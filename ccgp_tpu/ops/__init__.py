@@ -23,4 +23,8 @@ from ccgp_tpu.ops.pallas_chol import (
     mvn_nll_from_quadratics,
 )
 from ccgp_tpu.ops.pallas_chol_lanes import chol_quadratics_lanes
+from ccgp_tpu.ops.pallas_chol_smallk import (
+    chol_quadratics_smallk,
+    fused_mix_quadratics_smallk,
+)
 from ccgp_tpu.ops.pallas_gram_chol import fused_mix_quadratics
