@@ -260,3 +260,24 @@ def test_fused_smallk_matches_mixed_gram(rng):
         for k in qx:
             assert np.allclose(np.asarray(qf[k]), np.asarray(qx[k]),
                                rtol=1e-6), (spec.rough, k)
+
+
+def test_factors_lanes_interpret_matches_dense(rng):
+    """chol_factors_lanes emits the exact lower factor and whitened
+    right-hand sides (the build_factors cache contract)."""
+    from ccgp_tpu.ops.pallas_chol_lanes import chol_factors_lanes
+
+    grams, y = _batch(rng, b=5, n=33)
+    f = chol_factors_lanes(grams, y, jitter=1e-8, interpret=True)
+    yn = np.asarray(y)
+    for i in range(5):
+        r = np.asarray(grams[i]) + 1e-8 * np.eye(33)
+        want_l = np.linalg.cholesky(r)
+        assert np.allclose(np.asarray(f["chol"][i]), want_l, atol=1e-9)
+        assert np.allclose(np.asarray(f["wy"][i]),
+                           np.linalg.solve(want_l, yn), atol=1e-8)
+        assert np.allclose(np.asarray(f["wo"][i]),
+                           np.linalg.solve(want_l, np.ones(33)), atol=1e-8)
+    q = chol_quadratics(grams, y, jitter=1e-8, use_pallas=False)
+    for k in ("logdet", "qyy", "qoy", "qoo"):
+        assert np.allclose(np.asarray(f[k]), np.asarray(q[k]), rtol=2e-6), k
