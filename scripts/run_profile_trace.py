@@ -44,14 +44,17 @@ def main():
                        dim=2, rough="tied", anisotropic=True)
 
     # short chain: the trace is a per-stage artifact, not a benchmark —
-    # 300 recorded draws keeps the file committable (~2 MB vs 16 MB full)
+    # 300 recorded draws keeps the file committable (~2 MB vs 16 MB full).
+    # speculative=4 + grid MLE = the production fit path (the bench
+    # config), so the trace shows the small-K Pallas kernel rounds.
     cfg = MCMCConfig(start=(1.0, 1.0, 0.0, 0.0), n_max=300, samp_size=150,
-                     net_samp_size=150)
+                     net_samp_size=150, speculative=4)
 
     def bayes(x, y, key):
         fit = fit_combined_gp(spec, x, y, key, mcmc=cfg,
                               theta1_prior=LogNormal(-1.0, 1.0),
-                              theta2_prior=InverseGamma(3, 4), jitter=1e-3)
+                              theta2_prior=InverseGamma(3, 4), jitter=1e-3,
+                              mle_method="grid")
         return fit.sigma2, fit.mcmc.n_recorded, fit.chain_ok
 
     bayes_j = jax.jit(bayes)
