@@ -26,6 +26,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from ccgp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()   # timing uses the slope protocol; the cache
+                                # only cuts this script's compile wall-clock
+
     from ccgp_tpu.eval.datasets import load_maximin_2d
     from ccgp_tpu.models import MixtureSpec, InverseGamma, LogNormal, make_logpost
     from ccgp_tpu.models.combination import unpack, mixed_cross, mixed_gram

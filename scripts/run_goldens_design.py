@@ -19,6 +19,10 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+from ccgp_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from ccgp_tpu.design import me_design, me_criterion, batch_me_design, kmedoids
 from ccgp_tpu.eval.datasets import load_initial_me_design, load_design_txt
 from ccgp_tpu.experiments import sim_1d_two_families, batch_me_design as bmd

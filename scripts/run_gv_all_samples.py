@@ -19,6 +19,10 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
+from ccgp_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 from ccgp_tpu.eval.datasets import load_ground_vibrations
 from ccgp_tpu.eval.results import write_comparison_table
 from ccgp_tpu.experiments import ground_vibrations

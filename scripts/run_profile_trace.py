@@ -20,6 +20,10 @@ sys.path.insert(0, str(ROOT))
 
 def main():
     import jax
+
+    from ccgp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from ccgp_tpu.eval.datasets import load_maximin_2d

@@ -23,6 +23,10 @@ SIZES = [100, 256, 512, 1024, 2048, 4096]
 
 def main():
     import jax
+
+    from ccgp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from ccgp_tpu.eb.halton import halton

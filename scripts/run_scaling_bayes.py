@@ -1,0 +1,107 @@
+"""Scaling study for the FULL BAYESIAN pipeline: fit + predict vs n.
+
+Complements the MAP scaling table (run_scaling.py): this times the
+reference's own pipeline — plug-in sigma^2 (batched grid) -> Laplace ->
+Geweke-stopped speculative Metropolis -> 400-draw posterior-predict at
+512 points — on synthetic 4-D problems. n <= 128 rides the small-K
+Pallas kernel + lanes factor cache; larger n exercises the documented
+XLA fallbacks (the dispatch guards), showing the pipeline scales past
+every Pallas tile limit. Appends to RESULTS.md.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+SIZES = [100, 256, 512]
+
+
+def main():
+    import jax
+
+    from ccgp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax.numpy as jnp
+
+    from ccgp_tpu.models import (
+        MixtureSpec, MCMCConfig, InverseGamma, fit_combined_gp,
+        predict_combined_gp,
+    )
+    from ccgp_tpu.ops import kernels
+
+    dtype = jnp.float32
+    d = 4
+    t_pred = 512
+    fam = kernels.sqexp_family()
+    spec = MixtureSpec(fam, fam, dim=d)
+    rng = np.random.default_rng(0)
+
+    def f_np(x):
+        return (np.sin(3 * x[:, 0]) + np.cos(5 * x[:, 1]) * x[:, 2]
+                + 0.5 * np.sin(8 * x[:, 3] * x[:, 0]))
+
+    cfg = MCMCConfig(start=(1.0, 1.0, 0.0), n_max=3000, samp_size=600,
+                     net_samp_size=400, speculative=4)
+
+    lines = ["", "## Full-Bayesian scaling (synthetic 4-D, Laplace + "
+             "Geweke-stopped Metropolis + 400-draw predict at 512 pts, "
+             "v5e f32)", "",
+             "| n train | jitter | wall-clock | RMSPE | draws | healthy |",
+             "|---|---|---|---|---|---|"]
+
+    for n in SIZES:
+        jitter = 1e-3 if n <= 256 else 3e-3
+        x_np = rng.uniform(size=(n, d))
+        y_np = f_np(x_np).astype(np.float32)
+        xt_np = rng.uniform(size=(t_pred, d))
+        yt_np = f_np(xt_np)
+        x = jnp.asarray(x_np, dtype)
+        y = jnp.asarray(y_np, dtype)
+        xt = jnp.asarray(xt_np, dtype)
+
+        def fit_predict(x, y, xt, key):
+            kf, kp = jax.random.split(key)
+            fit = fit_combined_gp(spec, x, y, kf, mcmc=cfg,
+                                  theta1_prior=InverseGamma(3, 2),
+                                  theta2_prior=InverseGamma(5, 16),
+                                  jitter=jitter, mle_method="grid")
+            pred = predict_combined_gp(spec, fit, x, xt, kp)
+            return (pred.mean, fit.chain_ok, fit.mcmc.n_recorded,
+                    fit.sigma2)
+
+        jf = jax.jit(fit_predict)
+        key = jax.random.PRNGKey(11)
+        out = jax.block_until_ready(jf(x, y, xt, key))
+        float(out[3])
+
+        def batch(k):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = jf(x, y, xt, key)
+            float(o[3])
+            return time.perf_counter() - t0
+
+        batch(1)
+        t1 = min(batch(1) for _ in range(3))
+        t2 = min(batch(3) for _ in range(3))
+        ms = (t2 - t1) / 2 * 1e3
+        rmspe = float(np.sqrt(np.mean((yt_np - np.asarray(out[0])) ** 2)))
+        lines.append(f"| {n} | {jitter} | {ms:.1f} ms | {rmspe:.4f} | "
+                     f"{int(out[2])} | {bool(out[1])} |")
+        print(lines[-1], flush=True)
+
+    with open(ROOT / "RESULTS.md", "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("appended to RESULTS.md")
+
+
+if __name__ == "__main__":
+    main()

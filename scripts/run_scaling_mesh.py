@@ -41,6 +41,10 @@ if "xla_force_host_platform_device_count" not in flags:
 def main():
     import jax
 
+    from ccgp_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     jax.config.update("jax_platforms", "cpu")
     # f64: f32 sharded/unsharded compilation variants round differently and
     # the MCMC accept chain amplifies a flipped comparison into a different

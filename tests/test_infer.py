@@ -230,3 +230,26 @@ def test_metropolis_speculative_matches_sequential_law():
     with _pytest.raises(ValueError):
         metropolis(lp, start, jax.random.PRNGKey(2), n_max=100,
                    samp_size=50, record="all", speculative=4)
+
+
+def test_metropolis_accepts_typed_rbg_key():
+    """The sampler is PRNG-impl agnostic: a typed rbg key (the documented
+    fast-stream option, bench.py) must run the same Markov kernel."""
+    from typing import NamedTuple
+
+    from ccgp_tpu.infer.metropolis import metropolis
+
+    class LP(NamedTuple):
+        val: jnp.ndarray
+        beta: jnp.ndarray
+
+    def lp(z):
+        return LP(val=-0.5 * jnp.sum(z ** 2), beta=jnp.asarray(0.0))
+
+    key = jax.random.key(3, impl="rbg")
+    res = metropolis(lp, jnp.zeros(2), key, n_max=2000, samp_size=1500,
+                     alpha_geweke=1.1, speculative=4)
+    zs = np.asarray(res.retained(1500)[0])
+    assert int(res.n_recorded) == 2000
+    assert np.all(np.isfinite(zs))
+    assert abs(zs.mean()) < 0.2 and abs(zs.std() - 1.0) < 0.2
