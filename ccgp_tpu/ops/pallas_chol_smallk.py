@@ -51,7 +51,7 @@ def _make_kernel(n: int, nk: int):
         dtype = m.dtype
         kk = m.shape[0]
 
-        ld, qyy, qoy, qoo = _chol_quad_core(m, ry, ro, n, kk, dtype)
+        ld, qyy, qoy, qoo = _CORE(m, ry, ro, n, kk, dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
         out_ref[...] = jnp.where(
             lane == 0, ld, jnp.where(
@@ -59,6 +59,73 @@ def _make_kernel(n: int, nk: int):
                     lane == 2, qoy, jnp.where(lane == 3, qoo, 0.0))))
 
     return _kernel
+
+
+def _chol_quad_core_blocked(m, ry, ro, n: int, kk: int, dtype):
+    """Rank-8 blocked right-looking core: panel ministeps on ONE-TILE
+    (K, 8, N) row slabs, trailing downdate as one batched MXU dot.
+
+    Per 8 columns, the full-(K, N, N) traffic is ONE read-modify-write
+    (the dot subtract) instead of eight rank-1 passes plus sixteen masked
+    extractions — the panel work happens on (K, 8, N) arrays that occupy
+    a single (8, 128) tile per batch element. The trailing product
+    sum_r L[i, j0+r] L[k, j0+r] is `dot_general` contracting the panel
+    axis at HIGHEST precision (bf16 MXU passes break Cholesky; measured
+    2.6e-6 max err vs 0.06 default). Row slices m[:, j0:j0+8, :] are
+    TILE-ALIGNED static slices (the arbitrary-offset slices that lost in
+    `_chol_quad_core`'s notes are sub-tile; aligned ones are free).
+
+    Correctness around the identity pad: pad rows stay e_j through every
+    update (their cross entries are zero), contribute only to dead
+    entries of the trailing dot, and skipped ministeps (j >= n) leave
+    them untouched — so partial last panels need no masking.
+
+    MEASURED VERDICT (v5e, n=100, K=4, full fit timing): 57.0 ms vs the
+    rank-1 unrolled core's 45.7 ms, plus a ~10 min Mosaic compile — the
+    13 small HIGHEST-precision MXU dots cost more latency than the
+    full-matrix passes they replace. Kept as a tested exploration
+    baseline; `_CORE` stays on the rank-1 core.
+    """
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (kk, 8, 1), 1)
+    ld = jnp.zeros((kk, 1, 1), dtype)
+    wy = jnp.zeros((kk, 1, TILE), dtype)
+    wo = jnp.zeros((kk, 1, TILE), dtype)
+    for j0 in range(0, n, 8):
+        r8 = m[:, j0:j0 + 8, :]                              # (K, 8, N)
+        for r in range(min(8, n - j0)):
+            j = j0 + r
+            rowr = jnp.sum(jnp.where(i8 == r, r8, 0.0), axis=1,
+                           keepdims=True)                    # (K, 1, N)
+            d2 = jnp.sum(jnp.where(iilane == j, rowr, 0.0), axis=2,
+                         keepdims=True)                      # (K, 1, 1)
+            dinv = jax.lax.rsqrt(d2)
+            ld = ld + jnp.log(d2)
+            lrow = jnp.where(iilane > j, rowr, 0.0) * dinv   # (K, 1, N)
+            rowfull = jnp.where(iilane == j, d2 * dinv, lrow)
+            c8 = jnp.sum(jnp.where(iilane == j, r8, 0.0), axis=2,
+                         keepdims=True)                      # (K, 8, 1)
+            sub = jnp.where(i8 > r, c8, 0.0) * dinv
+            r8 = jnp.where(i8 == r, rowfull, r8 - sub * rowfull)
+            rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                          keepdims=True) * dinv              # (K, 1, 1)
+            rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                          keepdims=True) * dinv
+            wy = jnp.where(iilane == j, rjy, wy)
+            wo = jnp.where(iilane == j, rjo, wo)
+            ry = ry - lrow * rjy
+            ro = ro - lrow * rjo
+        # r8 row r now holds L[., j0+r] as a lane vector (zeros below j);
+        # one MXU contraction applies all eight rank-1 downdates — stale
+        # values land only in already-consumed or padded (dead) entries
+        upd = jax.lax.dot_general(r8, r8, (((1,), (1,)), ((0,), (0,))),
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=dtype)
+        m = m - upd
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+    return ld, qyy, qoy, qoo
 
 
 def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
@@ -110,6 +177,11 @@ def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
     qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
     qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
     return ld, qyy, qoy, qoo
+
+
+# active core for both kernels (see the two cores' docstrings for the
+# measured formulation notes)
+_CORE = _chol_quad_core
 
 
 def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
@@ -196,7 +268,7 @@ def _make_fused_kernel(n: int, ndim: int, jitter: float):
                               jnp.asarray(jitter, dtype), 0.0)
 
         # ---- shared factorization + substitution core --------------------
-        ld, qyy, qoy, qoo = _chol_quad_core(m, ry, ro, n, kk, dtype)
+        ld, qyy, qoy, qoo = _CORE(m, ry, ro, n, kk, dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
         out_ref[...] = jnp.where(
             lane == 0, ld, jnp.where(
