@@ -52,7 +52,7 @@ def _make_kernel(n: int, nk: int):
         kk = m.shape[0]
 
         ld, qyy, qoy, qoo = _CORE(m, ry, ro, n, kk, dtype)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, m.shape[-1]), 2)
         out_ref[...] = jnp.where(
             lane == 0, ld, jnp.where(
                 lane == 1, qyy, jnp.where(
@@ -86,11 +86,12 @@ def _chol_quad_core_blocked(m, ry, ro, n: int, kk: int, dtype):
     full-matrix passes they replace. Kept as a tested exploration
     baseline; `_CORE` stays on the rank-1 core.
     """
-    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+    tile = m.shape[-1]
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
     i8 = jax.lax.broadcasted_iota(jnp.int32, (kk, 8, 1), 1)
     ld = jnp.zeros((kk, 1, 1), dtype)
-    wy = jnp.zeros((kk, 1, TILE), dtype)
-    wo = jnp.zeros((kk, 1, TILE), dtype)
+    wy = jnp.zeros((kk, 1, tile), dtype)
+    wo = jnp.zeros((kk, 1, tile), dtype)
     for j0 in range(0, n, 8):
         r8 = m[:, j0:j0 + 8, :]                              # (K, 8, N)
         for r in range(min(8, n - j0)):
@@ -140,8 +141,9 @@ def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
       quadratic accumulators: 54.7 ms and 174 s Mosaic compile —
       arbitrary-offset slices relayout worse than masked full-tile reduces.
     """
-    iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, TILE, 1), 1)
-    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+    tile = m.shape[-1]
+    iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, tile, 1), 1)
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
 
     def step(j, carry):
         m, ld, ry, ro, wy, wo = carry
@@ -168,11 +170,14 @@ def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
         ro = ro - llane * rjo
         return m, ld, ry, ro, wy, wo
 
-    zero_v = jnp.zeros((kk, 1, TILE), dtype)
+    zero_v = jnp.zeros((kk, 1, tile), dtype)
+    # full unroll only in the single-tile regime: at n > 128 the unrolled
+    # Mosaic program gets too large to compile in reasonable time, and the
+    # rolled loop is still ~5x ahead of the XLA fallback
     m, ld, _, _, wy, wo = jax.lax.fori_loop(
         0, n, step,
         (m, jnp.zeros((kk, 1, 1), dtype), ry, ro, zero_v, zero_v),
-        unroll=n)
+        unroll=n if n <= 128 else 1)
     qyy = jnp.sum(wy * wy, axis=2, keepdims=True)           # (K, 1, 1)
     qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
     qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
@@ -197,29 +202,37 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
     kernel (Mosaic supports only unroll=1 or full): ~1.4x faster than the
     rolled loop (bench.py full-Bayes 129 -> 90 ms) at the cost of
     per-(n, K)-shape compile time, amortized by the persistent cache.
+
+    n in (128, 256] pads to a two-tile 256 working set with a ROLLED loop
+    (the unrolled program gets too large). MEASURED VERDICT: at n=256 the
+    rolled two-tile kernel is ~6% SLOWER than the XLA bordered fallback on
+    the same chain (1979 vs 1857 ms, identical 1340-draw trajectory), so
+    the `chol_quadratics`/`make_logpost_batch` dispatchers route only
+    n <= 128 here; the capability stays tested for callers who want it.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, _ = grams.shape
     dtype = grams.dtype
-    if n > TILE:
-        raise ValueError(f"n must be <= {TILE}")
+    tile = -(-n // TILE) * TILE
+    if tile > 2 * TILE:
+        raise ValueError(f"n must be <= {2 * TILE}")
     if jitter:
         grams = grams + jitter * jnp.eye(n, dtype=dtype)
-    pad = TILE - n
+    pad = tile - n
     if pad:
         # pad with identity so padded pivots are 1 even though the loop
         # never reaches them (keeps the block PSD for debuggability)
-        eye_pad = jnp.eye(TILE, dtype=dtype)[n:]
+        eye_pad = jnp.eye(tile, dtype=dtype)[n:]
         grams = jnp.concatenate([
             jnp.concatenate([grams, jnp.zeros((b, n, pad), dtype)], 2),
-            jnp.broadcast_to(eye_pad, (b, pad, TILE)),
+            jnp.broadcast_to(eye_pad, (b, pad, tile)),
         ], 1)
     ypad = jnp.concatenate([y.astype(dtype), jnp.zeros((pad,), dtype)])
     opad = jnp.concatenate([jnp.ones((n,), dtype), jnp.zeros((pad,), dtype)])
-    ry = jnp.broadcast_to(ypad[None, None, :], (b, 1, TILE))
-    ro = jnp.broadcast_to(opad[None, None, :], (b, 1, TILE))
+    ry = jnp.broadcast_to(ypad[None, None, :], (b, 1, tile))
+    ro = jnp.broadcast_to(opad[None, None, :], (b, 1, tile))
 
     kwargs = {}
     if not interpret:
@@ -227,11 +240,11 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
         _make_kernel(n, b),
-        out_shape=jax.ShapeDtypeStruct((b, 1, TILE), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, 1, tile), dtype),
         interpret=interpret,
         **kwargs,
     )(grams, ry, ro)
-    flat = out[:, 0, :]                                        # (K, 128)
+    flat = out[:, 0, :]                                        # (K, tile)
     return {"logdet": flat[:, 0], "qyy": flat[:, 1],
             "qoy": flat[:, 2], "qoo": flat[:, 3]}
 
@@ -246,13 +259,14 @@ def _make_fused_kernel(n: int, ndim: int, jitter: float):
         ro = ro_ref[...]
         dtype = r1.dtype
         kk = r1.shape[0]
+        tile = d2.shape[-1]
 
-        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, TILE, 1), 1)
-        iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, tile, 1), 1)
+        iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
 
         # ---- SE mixture Gram in VMEM (d-axis contraction unrolled) -------
-        dist1 = jnp.zeros((kk, TILE, TILE), dtype)
-        dist2 = jnp.zeros((kk, TILE, TILE), dtype)
+        dist1 = jnp.zeros((kk, tile, tile), dtype)
+        dist2 = jnp.zeros((kk, tile, tile), dtype)
         for k in range(ndim):
             d2k = d2[k][None]                                   # (1, N, N)
             dist1 = dist1 + d2k * r1[:, :, k:k + 1]
@@ -269,7 +283,7 @@ def _make_fused_kernel(n: int, ndim: int, jitter: float):
 
         # ---- shared factorization + substitution core --------------------
         ld, qyy, qoy, qoo = _CORE(m, ry, ro, n, kk, dtype)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, TILE), 2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, m.shape[-1]), 2)
         out_ref[...] = jnp.where(
             lane == 0, ld, jnp.where(
                 lane == 1, qyy, jnp.where(
@@ -304,25 +318,26 @@ def fused_mix_quadratics_smallk(
     n, d = x.shape
     kk = r1.shape[0]
     dtype = x.dtype
-    if n > TILE:
-        raise ValueError(f"n must be <= {TILE}")
+    tile = -(-n // TILE) * TILE
+    if tile > 2 * TILE:
+        raise ValueError(f"n must be <= {2 * TILE}")
     if d > TILE:
         raise ValueError(f"d must be <= {TILE}")
     diffs = x[:, None, :] - x[None, :, :]                  # (n, n, d)
     d2 = jnp.transpose(diffs * diffs, (2, 0, 1))           # (d, n, n)
-    d2 = jnp.pad(d2, ((0, 0), (0, TILE - n), (0, TILE - n)))
+    d2 = jnp.pad(d2, ((0, 0), (0, tile - n), (0, tile - n)))
 
     def lanes_rates(r):
         r = jnp.broadcast_to(jnp.asarray(r, dtype), (kk, d))
-        return jnp.pad(r, ((0, 0), (0, TILE - d)))[:, None, :]
+        return jnp.pad(r, ((0, 0), (0, tile - d)))[:, None, :]
 
     pv = jnp.broadcast_to(jnp.asarray(p, dtype)[:, None, None],
-                          (kk, 1, TILE))
-    ypad = jnp.concatenate([y.astype(dtype), jnp.zeros((TILE - n,), dtype)])
+                          (kk, 1, tile))
+    ypad = jnp.concatenate([y.astype(dtype), jnp.zeros((tile - n,), dtype)])
     opad = jnp.concatenate([jnp.ones((n,), dtype),
-                            jnp.zeros((TILE - n,), dtype)])
-    ry = jnp.broadcast_to(ypad[None, None, :], (kk, 1, TILE))
-    ro = jnp.broadcast_to(opad[None, None, :], (kk, 1, TILE))
+                            jnp.zeros((tile - n,), dtype)])
+    ry = jnp.broadcast_to(ypad[None, None, :], (kk, 1, tile))
+    ro = jnp.broadcast_to(opad[None, None, :], (kk, 1, tile))
 
     kwargs = {}
     if not interpret:
@@ -330,7 +345,7 @@ def fused_mix_quadratics_smallk(
             vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
         _make_fused_kernel(n, d, float(jitter)),
-        out_shape=jax.ShapeDtypeStruct((kk, 1, TILE), dtype),
+        out_shape=jax.ShapeDtypeStruct((kk, 1, tile), dtype),
         interpret=interpret,
         **kwargs,
     )(d2, lanes_rates(r1), lanes_rates(r2), pv, ry, ro)

@@ -281,3 +281,16 @@ def test_factors_lanes_interpret_matches_dense(rng):
     q = chol_quadratics(grams, y, jitter=1e-8, use_pallas=False)
     for k in ("logdet", "qyy", "qoy", "qoo"):
         assert np.allclose(np.asarray(f[k]), np.asarray(q[k]), rtol=2e-6), k
+
+
+def test_smallk_two_tile_interpret(rng):
+    """n in (128, 256]: the small-K kernel pads to a 256 tile and runs a
+    rolled loop; parity against the XLA path at n=150."""
+    from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
+
+    grams, y = _batch(rng, b=3, n=150)
+    qx = chol_quadratics(grams, y, jitter=1e-8, use_pallas=False)
+    qs = chol_quadratics_smallk(grams, y, jitter=1e-8, interpret=True)
+    for k in qx:
+        assert np.allclose(np.asarray(qx[k]), np.asarray(qs[k]),
+                           rtol=2e-6), k
