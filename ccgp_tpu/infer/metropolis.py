@@ -87,6 +87,7 @@ def metropolis(
     laplace_fit: LaplaceFit | None = None,
     speculative: int = 0,
     logpost_batch: Callable | None = None,
+    mh_round: Callable | None = None,
 ) -> MetropolisResult:
     """Run one chain. `logpost(z)` must return an object with `.val` (scalar
     log-posterior; -inf for invalid) and `.beta`.
@@ -113,6 +114,12 @@ def metropolis(
     `models.likelihood.make_logpost_batch(...)` so the K factorizations
     reach the small-batch Pallas kernel as one explicit batch (a vmap of a
     Pallas call serializes matrices across grid programs).
+
+    mh_round: optional f(z, lp_val, lp_beta, cands, log_u) ->
+    (z_new, val_new, beta_new, any_acc, consumed) evaluating a WHOLE
+    speculative round (`models.likelihood.make_mh_round`): on TPU the
+    entire decision fuses into one Pallas kernel. Takes precedence over
+    logpost_batch; identical random stream and Markov kernel.
     """
     if record not in ("accepted", "all"):
         raise ValueError(record)
@@ -212,11 +219,38 @@ def metropolis(
         return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
                 S, B, L, pv)
 
+    def body_mh(state):
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = state
+        key, k1, k2 = jax.random.split(key, 3)
+        eps = jax.random.normal(k1, (K, dim), dtype)
+        cands = z[None, :] + eps @ prop_chol.T
+        log_u = jnp.log(jax.random.uniform(k2, (K,), dtype=dtype))
+        zc, vc, bc, any_acc, consumed = mh_round(z, lp_val, lp_beta,
+                                                 cands, log_u)
+        z_new = jnp.where(any_acc, zc, z)
+        val_new = jnp.where(any_acc, vc, lp_val)
+        beta_new = jnp.where(any_acc, bc, lp_beta)
+        row = k_rec
+        S = jnp.where(any_acc, S.at[row].set(z_new), S)
+        B = jnp.where(any_acc, B.at[row].set(beta_new), B)
+        L = jnp.where(any_acc, L.at[row].set(val_new), L)
+        k_rec = k_rec + any_acc.astype(k_rec.dtype)
+        n_acc = n_acc + any_acc.astype(n_acc.dtype)
+        n_prop = n_prop + consumed.astype(n_prop.dtype)
+        check = any_acc & (k_rec >= samp_size) & (k_rec % batch_size == 0)
+        pv = jax.lax.cond(check, lambda: do_geweke(S, k_rec), lambda: pv)
+        return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
+                S, B, L, pv)
+
+    if K > 1:
+        body_fn = body_mh if mh_round is not None else body_spec
+    else:
+        body_fn = body
     init = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
             z0, lp0.val, lp0.beta, samples0, betas0, logposts0,
             jnp.asarray(0.0, dtype))
     (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = (
-        jax.lax.while_loop(cond, body_spec if K > 1 else body, init)
+        jax.lax.while_loop(cond, body_fn, init)
     )
     return MetropolisResult(
         samples=S, betas=B, logposts=L, n_recorded=k_rec,

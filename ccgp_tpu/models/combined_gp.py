@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from ccgp_tpu.infer.metropolis import metropolis, MetropolisResult
 from ccgp_tpu.infer.mle import kriging_mle, kriging_mle_grid, KrigingMLE
 from ccgp_tpu.models.combination import MixtureSpec, MixParams, unpack
-from ccgp_tpu.models.likelihood import make_logpost, make_logpost_batch
+from ccgp_tpu.models.likelihood import (
+    make_logpost, make_logpost_batch, make_mh_round)
 from ccgp_tpu.models.priors import InverseGamma
 from ccgp_tpu.ops.kernels import KernelFamily
 from ccgp_tpu.predict.factors import build_factors, FactorCache
@@ -92,21 +93,22 @@ def fit_combined_gp(
     logpost = make_logpost(spec, x, y, s2, theta1_prior=theta1_prior,
                            theta2_prior=theta2_prior, p_prior=p_prior,
                            jitter=jitter)
-    lp_batch = None
+    round_fn = None
     if mcmc.speculative and mcmc.speculative > 1:
-        # explicit-batch evaluation so the K speculative candidates reach
-        # the small-batch Pallas Cholesky kernel as one factorization
-        lp_batch = make_logpost_batch(spec, x, y, s2,
-                                      theta1_prior=theta1_prior,
-                                      theta2_prior=theta2_prior,
-                                      p_prior=p_prior, jitter=jitter)
+        # whole-round evaluation: the K speculative candidates' Grams,
+        # factorizations, log-posteriors and the MH first-acceptance scan
+        # fuse into one Pallas kernel on TPU (XLA elsewhere, same math)
+        round_fn = make_mh_round(spec, x, y, s2,
+                                 theta1_prior=theta1_prior,
+                                 theta2_prior=theta2_prior,
+                                 p_prior=p_prior, jitter=jitter)
     res = metropolis(logpost, jnp.asarray(mcmc.start, x.dtype), k_mcmc,
                      n_max=mcmc.n_max, samp_size=mcmc.samp_size,
                      batch_size=mcmc.batch_size,
                      alpha_geweke=mcmc.alpha_geweke, record=mcmc.record,
                      max_proposals=mcmc.max_proposals,
                      speculative=mcmc.speculative,
-                     logpost_batch=lp_batch)
+                     mh_round=round_fn)
     zs_all, betas_all, _ = res.retained(mcmc.samp_size)
     # reference keeps the last net_samp_size of the samp_size window
     # (`1D...Public.R:755,777`)

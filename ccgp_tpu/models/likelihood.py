@@ -174,3 +174,78 @@ def make_logpost_batch(
         return val, beta
 
     return logpost_batch
+
+
+def make_mh_round(
+    spec: MixtureSpec,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    sigma2,
+    theta1_prior=None,
+    theta2_prior=None,
+    p_prior=None,
+    jitter: float = 0.0,
+):
+    """One WHOLE speculative Metropolis round as a single evaluation:
+    f(z, lp_val, lp_beta, cands (K, dim), log_u (K,)) ->
+    (z_new, val_new, beta_new, any_acc, consumed).
+
+    On TPU for SE/SE mixtures (n <= 128, K <= 16) this is ONE Pallas
+    kernel — Gram builds, factorizations, log-posteriors AND the
+    first-acceptance scan (`ops/pallas_chol_smallk.fused_mix_mh_round`);
+    the profiler trace showed the unfused round spending ~12 of 33 us in
+    ~30 tiny XLA selection/reduction ops. Elsewhere it reduces to the
+    batched-logpost evaluation plus the same selection in XLA — the
+    evaluation order and random-stream consumption are identical, so the
+    chain matches the unfused speculative body draw-for-draw (up to
+    float-associativity rounding).
+    """
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    log2pi = math.log(2.0 * math.pi)
+    n_dim = x.shape[-1]
+    se_mix = (spec.kernel1.raw_kind == "sqdist"
+              and spec.kernel2.raw_kind == "sqdist")
+    lp_batch = make_logpost_batch(spec, x, y, sigma2,
+                                  theta1_prior=theta1_prior,
+                                  theta2_prior=theta2_prior,
+                                  p_prior=p_prior, jitter=jitter)
+
+    def prior_terms(params, log_jac):
+        log_prior = jnp.zeros_like(log_jac)
+        if theta1_prior is not None:
+            lp1 = theta1_prior.log_kernel(params.theta1)
+            log_prior = log_prior + (jnp.sum(lp1, axis=-1)
+                                     if spec.anisotropic else lp1)
+        if theta2_prior is not None:
+            log_prior = log_prior + theta2_prior.log_kernel(params.theta2)
+        if p_prior is not None:
+            log_prior = log_prior + p_prior.log_kernel(params.p)
+        return log_jac + log_prior
+
+    def mh_round(z, lp_val, lp_beta, cands, log_u):
+        kk = cands.shape[0]
+        if (se_mix and jax.default_backend() == "tpu"
+                and x.shape[-2] <= 128 and kk <= 16):
+            from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_round
+
+            params, log_jac = jax.vmap(lambda c: unpack(spec, c))(cands)
+            th1, th2 = _effective_rates(spec, params, predict=False)
+            r1 = jnp.broadcast_to(jnp.reshape(th1, (kk, -1)), (kk, n_dim))
+            r2 = jnp.broadcast_to(jnp.reshape(th2, (kk, -1)), (kk, n_dim))
+            _, _, s = mix_weights(params.p)
+            return fused_mix_mh_round(
+                x, y, r1, r2, params.p, prior_terms(params, log_jac),
+                jnp.log(s * sigma2), cands, lp_val, lp_beta, log_u,
+                jitter=jitter)
+        vals, betas = lp_batch(cands)
+        acc = (vals - lp_val) > log_u
+        any_acc = jnp.any(acc)
+        first = jnp.argmax(acc)
+        consumed = jnp.where(any_acc, first + 1, kk).astype(jnp.int32)
+        z_new = jnp.where(any_acc, cands[first], z)
+        val_new = jnp.where(any_acc, vals[first], lp_val)
+        beta_new = jnp.where(any_acc, betas[first], lp_beta)
+        return z_new, val_new, beta_new, any_acc, consumed
+
+    return mh_round

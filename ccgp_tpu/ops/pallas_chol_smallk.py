@@ -352,3 +352,159 @@ def fused_mix_quadratics_smallk(
     flat = out[:, 0, :]
     return {"logdet": flat[:, 0], "qyy": flat[:, 1],
             "qoy": flat[:, 2], "qoo": flat[:, 3]}
+
+
+def _make_mh_kernel(n: int, ndim: int, jitter: float, log2pi: float):
+    def _kernel(d2_ref, r1_ref, r2_ref, p_ref, ry_ref, ro_ref, sc_ref,
+                st_ref, cands_ref, out_ref):
+        d2 = d2_ref[...]
+        r1 = r1_ref[...]
+        r2 = r2_ref[...]
+        pv = p_ref[...][:, :, 0:1]
+        ry = ry_ref[...]
+        ro = ro_ref[...]
+        sc = sc_ref[...]            # (K, 1, N): lane0 extra, lane1 log-scale,
+                                    # lane2 log_u
+        st = st_ref[...]            # (1, 1, N): lane0 lp_val, lane1 lp_beta
+        cands = cands_ref[...]      # (K, 1, N): candidate z in lanes < dim
+        dtype = r1.dtype
+        kk = r1.shape[0]
+        tile = d2.shape[-1]
+
+        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, tile, 1), 1)
+        iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+        dist1 = jnp.zeros((kk, tile, tile), dtype)
+        dist2 = jnp.zeros((kk, tile, tile), dtype)
+        for k in range(ndim):
+            d2k = d2[k][None]
+            dist1 = dist1 + d2k * r1[:, :, k:k + 1]
+            dist2 = dist2 + d2k * r2[:, :, k:k + 1]
+        w1 = pv * pv
+        w2 = (1.0 - pv) * (1.0 - pv)
+        rmix = (w1 * jnp.exp(-dist1) + w2 * jnp.exp(-dist2)) / (w1 + w2)
+        real = (iirow < n) & (iilane < n)
+        eye = (iirow == iilane).astype(dtype)
+        m = jnp.where(real, rmix, eye)
+        if jitter:
+            m = m + jnp.where(real & (iirow == iilane),
+                              jnp.asarray(jitter, dtype), 0.0)
+
+        ld, qyy, qoy, qoo = _CORE(m, ry, ro, n, kk, dtype)
+
+        # ---- per-candidate log-posterior and MH first-acceptance ---------
+        beta = qoy / qoo                                       # (K, 1, 1)
+        quad = qyy - qoy * qoy / qoo
+        extra = sc[:, :, 0:1]
+        ls = sc[:, :, 1:2]
+        logu = sc[:, :, 2:3]
+        val = (-0.5 * (n * log2pi + ld + n * ls + quad * jnp.exp(-ls))
+               + extra)                                        # (K, 1, 1)
+        lp = st[:, :, 0:1]                                     # (1, 1, 1)
+        # NaN vals (singular Gram) compare False => auto-rejected
+        acc = (val - lp) > logu                                # (K, 1, 1)
+
+        # first acceptance, unrolled over the static K (leading-axis
+        # slices are untiled and free). No-acceptance defaults: the body
+        # gates every state update on any_acc, so out_z may stay zero.
+        val_new = lp
+        beta_new = st[:, :, 1:2]
+        out_z = jnp.zeros((1, 1, tile), dtype)
+        consumed = jnp.full((1, 1, 1), float(kk), dtype)
+        taken = jnp.zeros((1, 1, 1), jnp.bool_)
+        for k in range(kk):
+            acck = acc[k:k + 1]
+            take = acck & (~taken)
+            out_z = jnp.where(take, cands[k:k + 1], out_z)
+            val_new = jnp.where(take, val[k:k + 1], val_new)
+            beta_new = jnp.where(take, beta[k:k + 1], beta_new)
+            consumed = jnp.where(take, jnp.full((1, 1, 1), float(k + 1),
+                                                dtype), consumed)
+            taken = taken | acck
+        anyf = taken.astype(dtype)
+
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2)
+        row0 = jnp.where(
+            lane1 == 0, val_new, jnp.where(
+                lane1 == 1, beta_new, jnp.where(
+                    lane1 == 2, anyf, jnp.where(
+                        lane1 == 3, consumed, 0.0))))
+        out_ref[0:1] = row0
+        out_ref[1:2] = out_z
+
+    return _kernel
+
+
+def fused_mix_mh_round(
+    x: jnp.ndarray,            # (n, d) training inputs
+    y: jnp.ndarray,            # (n,)
+    r1: jnp.ndarray,           # (K, d) smooth SE rates per candidate
+    r2: jnp.ndarray,           # (K, d) rough SE rates
+    p: jnp.ndarray,            # (K,) mixing weights
+    extra: jnp.ndarray,        # (K,) log-jacobian + log-prior terms
+    log_scale: jnp.ndarray,    # (K,) log((p^2+(1-p)^2) sigma2)
+    cands: jnp.ndarray,        # (K, dim) candidate z vectors (pass-through)
+    lp_val, lp_beta,           # scalars: current state's value/intercept
+    log_u: jnp.ndarray,        # (K,) log accept thresholds
+    jitter: float = 0.0,
+    interpret: bool = False,
+):
+    """ONE kernel = a whole speculative Metropolis round: K Gram builds +
+    factorizations + quadratics + log-posteriors + the first-acceptance
+    scan. Returns (z_new (dim,), val_new, beta_new, any_acc, consumed).
+
+    Motivation (profiler trace, results/profile): the round was 15.4 us of
+    Pallas kernel plus ~12 us spread over ~30 tiny XLA ops — selection,
+    comparisons, slices — whose launch latency rivals their work. Fusing
+    the MH decision into the kernel removes most of them; the evaluation
+    order and random stream are IDENTICAL to the unfused speculative body.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = x.shape
+    kk, dim = cands.shape
+    dtype = x.dtype
+    tile = -(-n // TILE) * TILE
+    if tile > 2 * TILE:
+        raise ValueError(f"n must be <= {2 * TILE}")
+    diffs = x[:, None, :] - x[None, :, :]
+    d2 = jnp.transpose(diffs * diffs, (2, 0, 1))
+    d2 = jnp.pad(d2, ((0, 0), (0, tile - n), (0, tile - n)))
+
+    def lanes_rates(r):
+        r = jnp.broadcast_to(jnp.asarray(r, dtype), (kk, d))
+        return jnp.pad(r, ((0, 0), (0, tile - d)))[:, None, :]
+
+    pv = jnp.broadcast_to(jnp.asarray(p, dtype)[:, None, None],
+                          (kk, 1, tile))
+    ypad = jnp.concatenate([y.astype(dtype), jnp.zeros((tile - n,), dtype)])
+    opad = jnp.concatenate([jnp.ones((n,), dtype),
+                            jnp.zeros((tile - n,), dtype)])
+    ry = jnp.broadcast_to(ypad[None, None, :], (kk, 1, tile))
+    ro = jnp.broadcast_to(opad[None, None, :], (kk, 1, tile))
+    sc = jnp.stack([jnp.asarray(extra, dtype), jnp.asarray(log_scale, dtype),
+                    jnp.asarray(log_u, dtype)], axis=-1)       # (K, 3)
+    sc = jnp.pad(sc, ((0, 0), (0, tile - 3)))[:, None, :]      # (K, 1, tile)
+    st = jnp.stack([jnp.asarray(lp_val, dtype).reshape(()),
+                    jnp.asarray(lp_beta, dtype).reshape(())])  # (2,)
+    st = jnp.pad(st, (0, tile - 2))[None, None, :]             # (1, 1, tile)
+    cz = jnp.pad(jnp.asarray(cands, dtype),
+                 ((0, 0), (0, tile - dim)))[:, None, :]        # (K, 1, tile)
+
+    import math as _math
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        _make_mh_kernel(n, d, float(jitter), _math.log(2.0 * _math.pi)),
+        out_shape=jax.ShapeDtypeStruct((2, 1, tile), dtype),
+        interpret=interpret,
+        **kwargs,
+    )(d2, lanes_rates(r1), lanes_rates(r2), pv, ry, ro, sc, st, cz)
+    row0 = out[0, 0]
+    z_new = out[1, 0, :dim]
+    any_acc = row0[2] > 0.5
+    return (z_new, row0[0], row0[1], any_acc,
+            row0[3].astype(jnp.int32))

@@ -294,3 +294,55 @@ def test_smallk_two_tile_interpret(rng):
     for k in qx:
         assert np.allclose(np.asarray(qx[k]), np.asarray(qs[k]),
                            rtol=2e-6), k
+
+
+def test_fused_mh_round_matches_sequential_oracle(rng):
+    """The whole-round kernel reproduces the exact speculative-prefix MH
+    decision (accept flags, first index, consumed count, new state)."""
+    from ccgp_tpu.models import MixtureSpec, InverseGamma, LogNormal
+    from ccgp_tpu.models.likelihood import make_logpost
+    from ccgp_tpu.models.combination import (
+        unpack, _effective_rates, mix_weights)
+    from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_round
+    import jax as _jax
+
+    x = jnp.asarray(rng.uniform(size=(31, 2)))
+    y = jnp.asarray(np.sin(6 * np.asarray(x[:, 0])) * np.asarray(x[:, 1]))
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
+                       dim=2, rough="tied", anisotropic=True)
+    t1p, t2p = LogNormal(-1.0, 1.0), InverseGamma(3, 4)
+    lp = make_logpost(spec, x, y, 0.9, theta1_prior=t1p, theta2_prior=t2p,
+                      jitter=1e-8)
+    hits = set()
+    for trial in range(10):
+        scale = 0.4 + 0.5 * trial          # widen until both branches hit
+        cands = jnp.asarray(rng.normal(size=(4, 4)) * scale)
+        z = jnp.asarray(rng.normal(size=(4,)) * 0.3)
+        out0 = lp(z)
+        log_u = jnp.asarray(np.log(rng.uniform(size=4)))
+        vals = np.array([float(lp(c).val) for c in cands])
+        betas = np.array([float(lp(c).beta) for c in cands])
+        acc = (vals - float(out0.val)) > np.asarray(log_u)
+        params, log_jac = _jax.vmap(lambda c: unpack(spec, c))(cands)
+        th1, th2 = _effective_rates(spec, params, predict=False)
+        r1 = jnp.broadcast_to(jnp.reshape(th1, (4, -1)), (4, 2))
+        r2 = jnp.broadcast_to(jnp.reshape(th2, (4, -1)), (4, 2))
+        _, _, s = mix_weights(params.p)
+        extra = (log_jac + jnp.sum(t1p.log_kernel(params.theta1), -1)
+                 + t2p.log_kernel(params.theta2))
+        got = fused_mix_mh_round(x, y, r1, r2, params.p, extra,
+                                 jnp.log(s * 0.9), cands, out0.val,
+                                 out0.beta, log_u, jitter=1e-8,
+                                 interpret=True)
+        if acc.any():
+            f = int(np.argmax(acc))
+            hits.add("acc")
+            assert bool(got[3]) and int(got[4]) == f + 1
+            assert np.allclose(np.asarray(got[0]), np.asarray(cands[f]),
+                               atol=1e-9)
+            assert abs(float(got[1]) - vals[f]) < 1e-6 * max(abs(vals[f]), 1)
+            assert abs(float(got[2]) - betas[f]) < 1e-7
+        else:
+            hits.add("rej")
+            assert not bool(got[3]) and int(got[4]) == 4
+    assert hits == {"acc", "rej"}  # both branches exercised
