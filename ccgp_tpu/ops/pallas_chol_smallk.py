@@ -32,8 +32,18 @@ The factorization loop runs the STATIC unpadded n (not the 128 pad): the
 identity pad block contributes nothing to the quadratics and skipping it
 saves (128 - n) dead steps of the latency-critical recurrence.
 
+Three entry points share the factorization core:
+  * `chol_quadratics_smallk`      — takes materialized Grams;
+  * `fused_mix_quadratics_smallk` — builds the SE-mixture Gram in VMEM
+    from the shared per-axis squared-difference stack;
+  * `fused_mix_mh_round`          — additionally folds the per-candidate
+    log-posterior assembly and the Metropolis first-acceptance scan into
+    the kernel: ONE kernel per speculative round (the profiler showed
+    ~12 of 33 us per round lost to ~30 tiny XLA selection ops).
+
 Non-PSD inputs surface as NaN (sqrt/rsqrt of a negative pivot), matching
-the framework's NaN-as-rejection dataflow.
+the framework's NaN-as-rejection dataflow; NaN log-posteriors compare
+False in the acceptance test, i.e. auto-reject.
 """
 from __future__ import annotations
 

@@ -5,7 +5,12 @@ Compares, at the Metropolis hot-loop shape (n ~ 100, K = 4..32):
   * the small-K latency kernel (`pallas_chol_smallk`)
   * the lane-batched kernel (throughput reference)
 
-Slope timing between fetch-closed k1/k2 batches per bench.py protocol.
+CAVEAT (measured): isolated slope timings of ~100 us ops on the axon
+runtime are dominated by host-dispatch variance — repeated runs of this
+script disagree by 2-4x and even produce negative slopes. Authoritative
+comparisons for these kernels are FULL-FIT timings (the jitted
+while-loop amortizes dispatch; see DESIGN.md §8's table) or the
+profiler trace (results/profile). Kept for quick sanity checks only.
 """
 from __future__ import annotations
 
