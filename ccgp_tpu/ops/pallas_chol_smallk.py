@@ -53,7 +53,7 @@ import jax.numpy as jnp
 TILE = 128
 
 
-def _make_kernel(n: int, nk: int):
+def _make_kernel(n: int):
     def _kernel(gram_ref, ry_ref, ro_ref, out_ref):
         m = gram_ref[...]          # (K, N, N) — trailing block stays symmetric
         ry = ry_ref[...]           # (K, 1, N)
@@ -249,7 +249,7 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
-        _make_kernel(n, b),
+        _make_kernel(n),
         out_shape=jax.ShapeDtypeStruct((b, 1, tile), dtype),
         interpret=interpret,
         **kwargs,
