@@ -102,3 +102,36 @@ def test_quant_ref_y_true(rng):
     out = posterior_predict(jax.random.PRNGKey(2), dm, dv, quant_ref=y_true)
     assert abs(float(out.quant[0]) - 0.5) < 0.06   # y_true at the center
     assert float(out.quant[1]) < 0.01              # y_true far above draws
+
+
+def test_build_factors_lanes_branch_matches_xla(rng, monkeypatch):
+    """The TPU lanes-kernel factor cache (build_factors >= 64 draws)
+    produces the same (chol, a, u) as the vmapped XLA path."""
+    import ccgp_tpu.ops.pallas_chol_lanes as lanes_mod
+    import ccgp_tpu.predict.factors as factors_mod
+    from ccgp_tpu.models import MixtureSpec
+    from ccgp_tpu.ops import kernels
+
+    x = jnp.asarray(rng.uniform(size=(17, 2)))
+    y = jnp.sin(5 * x[:, 0]) + x[:, 1]
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=2)
+    zs = jnp.asarray(rng.normal(size=(64, 3)) * 0.4)
+    betas = jnp.asarray(rng.normal(size=(64,)) * 0.05)
+
+    want = factors_mod.build_factors(spec, x, y, zs, betas, jitter=1e-8)
+
+    real_lanes = lanes_mod.chol_factors_lanes
+    calls = []
+
+    def spy(grams, yv, jitter=0.0, interpret=False):
+        calls.append(grams.shape)
+        return real_lanes(grams, yv, jitter=jitter, interpret=True)
+
+    monkeypatch.setattr(lanes_mod, "chol_factors_lanes", spy)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = factors_mod.build_factors(spec, x, y, zs, betas, jitter=1e-8)
+    assert calls == [(64, 17, 17)]
+    assert np.allclose(np.asarray(got.chol), np.asarray(want.chol),
+                       atol=1e-9)
+    assert np.allclose(np.asarray(got.a), np.asarray(want.a), atol=1e-8)
+    assert np.allclose(np.asarray(got.u), np.asarray(want.u), atol=1e-8)
