@@ -151,8 +151,11 @@ def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
       quadratic accumulators: 54.7 ms and 174 s Mosaic compile —
       arbitrary-offset slices relayout worse than masked full-tile reduces.
     """
-    tile = m.shape[-1]
-    iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, tile, 1), 1)
+    ns, tile = m.shape[1], m.shape[-1]   # sublane dim may be < tile:
+    # rows are padded only to the next multiple of 8 (not 128). Measured
+    # wall-clock-neutral on the bench (Mosaic appears to re-pad layouts
+    # internally); kept for the smaller VMEM working set
+    iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, ns, 1), 1)
     iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
 
     def step(j, carry):
@@ -230,14 +233,15 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
         raise ValueError(f"n must be <= {2 * TILE}")
     if jitter:
         grams = grams + jitter * jnp.eye(n, dtype=dtype)
+    ns = -(-n // 8) * 8                  # sublanes: next multiple of 8
     pad = tile - n
     if pad:
-        # pad with identity so padded pivots are 1 even though the loop
-        # never reaches them (keeps the block PSD for debuggability)
-        eye_pad = jnp.eye(tile, dtype=dtype)[n:]
+        # lane pad to the 128 tile; SUBLANE pad only to ns (identity rows
+        # so padded pivots stay 1; the loop never reaches them anyway)
+        eye_pad = jnp.eye(tile, dtype=dtype)[n:ns]
         grams = jnp.concatenate([
             jnp.concatenate([grams, jnp.zeros((b, n, pad), dtype)], 2),
-            jnp.broadcast_to(eye_pad, (b, pad, tile)),
+            jnp.broadcast_to(eye_pad, (b, ns - n, tile)),
         ], 1)
     ypad = jnp.concatenate([y.astype(dtype), jnp.zeros((pad,), dtype)])
     opad = jnp.concatenate([jnp.ones((n,), dtype), jnp.zeros((pad,), dtype)])
@@ -269,14 +273,14 @@ def _make_fused_kernel(n: int, ndim: int, jitter: float):
         ro = ro_ref[...]
         dtype = r1.dtype
         kk = r1.shape[0]
-        tile = d2.shape[-1]
+        ns, tile = d2.shape[1], d2.shape[-1]
 
-        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, tile, 1), 1)
+        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, ns, 1), 1)
         iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
 
         # ---- SE mixture Gram in VMEM (d-axis contraction unrolled) -------
-        dist1 = jnp.zeros((kk, tile, tile), dtype)
-        dist2 = jnp.zeros((kk, tile, tile), dtype)
+        dist1 = jnp.zeros((kk, ns, tile), dtype)
+        dist2 = jnp.zeros((kk, ns, tile), dtype)
         for k in range(ndim):
             d2k = d2[k][None]                                   # (1, N, N)
             dist1 = dist1 + d2k * r1[:, :, k:k + 1]
@@ -333,9 +337,10 @@ def fused_mix_quadratics_smallk(
         raise ValueError(f"n must be <= {2 * TILE}")
     if d > TILE:
         raise ValueError(f"d must be <= {TILE}")
+    ns = -(-n // 8) * 8
     diffs = x[:, None, :] - x[None, :, :]                  # (n, n, d)
     d2 = jnp.transpose(diffs * diffs, (2, 0, 1))           # (d, n, n)
-    d2 = jnp.pad(d2, ((0, 0), (0, tile - n), (0, tile - n)))
+    d2 = jnp.pad(d2, ((0, 0), (0, ns - n), (0, tile - n)))
 
     def lanes_rates(r):
         r = jnp.broadcast_to(jnp.asarray(r, dtype), (kk, d))
@@ -379,12 +384,12 @@ def _make_mh_kernel(n: int, ndim: int, jitter: float, log2pi: float):
         cands = cands_ref[...]      # (K, 1, N): candidate z in lanes < dim
         dtype = r1.dtype
         kk = r1.shape[0]
-        tile = d2.shape[-1]
+        ns, tile = d2.shape[1], d2.shape[-1]
 
-        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, tile, 1), 1)
+        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, ns, 1), 1)
         iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
-        dist1 = jnp.zeros((kk, tile, tile), dtype)
-        dist2 = jnp.zeros((kk, tile, tile), dtype)
+        dist1 = jnp.zeros((kk, ns, tile), dtype)
+        dist2 = jnp.zeros((kk, ns, tile), dtype)
         for k in range(ndim):
             d2k = d2[k][None]
             dist1 = dist1 + d2k * r1[:, :, k:k + 1]
@@ -477,9 +482,10 @@ def fused_mix_mh_round(
     tile = -(-n // TILE) * TILE
     if tile > 2 * TILE:
         raise ValueError(f"n must be <= {2 * TILE}")
+    ns = -(-n // 8) * 8
     diffs = x[:, None, :] - x[None, :, :]
     d2 = jnp.transpose(diffs * diffs, (2, 0, 1))
-    d2 = jnp.pad(d2, ((0, 0), (0, tile - n), (0, tile - n)))
+    d2 = jnp.pad(d2, ((0, 0), (0, ns - n), (0, tile - n)))
 
     def lanes_rates(r):
         r = jnp.broadcast_to(jnp.asarray(r, dtype), (kk, d))
