@@ -22,9 +22,13 @@ out — versus ~8 MB of materialized Grams for the unfused pipeline.
 MEASURED VERDICT (v5e f32, n=100, b=256, fetch-clean slope timing): fused
 10.3 us/matrix vs 9.6 for the unfused XLA-Gram + lanes-Cholesky pipeline —
 at these sizes the factorization is VPU-issue-bound, not HBM-bound, and
-XLA overlaps the Gram writes with compute, so fusion does not pay. Kept as
-a validated option for memory-constrained sweeps (it needs ~1000x less HBM
-per tile) and larger-batch regimes.
+XLA overlaps the Gram writes with compute, so fusion does not pay. The
+verdict holds at full EB scale too: routing the 624x1000 heat-exchanger
+hyperprior scan (n=64) through this kernel measured 39.2 s warm vs 24.9 s
+for the materialized-Gram path, same argmax — XLA pipelines the Gram
+construction with the previous tile's factorization, the fused kernel
+serializes them. Kept as a validated option for memory-constrained sweeps
+(it needs ~1000x less HBM per tile).
 """
 from __future__ import annotations
 
