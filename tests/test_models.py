@@ -197,3 +197,36 @@ def test_logpost_batched_vmap(rng):
     assert out.val.shape == (7,)
     single = lp(zs[3])
     assert np.isclose(float(out.val[3]), float(single.val), rtol=1e-12)
+
+
+def test_fit_combined_gp_speculative_path(rng):
+    """fit_combined_gp(speculative=4) exercises the whole-round mh_round
+    wiring (XLA fallback on CPU): healthy chain, finite posterior, and a
+    posterior location consistent with the sequential fit."""
+    from ccgp_tpu.models import (MixtureSpec, MCMCConfig, fit_combined_gp,
+                                 InverseGamma)
+    from ccgp_tpu.ops import kernels
+
+    x = jnp.asarray(rng.uniform(size=(12, 2)))
+    y = jnp.sin(5 * x[:, 0]) * jnp.cos(3 * x[:, 1])
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=2)
+    kw = dict(theta1_prior=InverseGamma(3, 2),
+              theta2_prior=InverseGamma(5, 16), jitter=1e-8)
+    cfg_s = MCMCConfig(start=(1.0, 1.0, 0.0), n_max=900, samp_size=300,
+                       net_samp_size=200, speculative=4)
+    cfg_0 = MCMCConfig(start=(1.0, 1.0, 0.0), n_max=900, samp_size=300,
+                       net_samp_size=200)
+    fit_s = fit_combined_gp(spec, x, y, jax.random.PRNGKey(0), mcmc=cfg_s,
+                            **kw)
+    fit_0 = fit_combined_gp(spec, x, y, jax.random.PRNGKey(0), mcmc=cfg_0,
+                            **kw)
+    assert bool(fit_s.chain_ok)
+    assert np.all(np.isfinite(np.asarray(fit_s.zs)))
+    med_s = np.median(np.asarray(fit_s.zs), axis=0)
+    med_0 = np.median(np.asarray(fit_0.zs), axis=0)
+    # same posterior, different streams: medians agree loosely
+    assert np.all(np.abs(med_s - med_0) < 2.0), (med_s, med_0)
+    # acceptance-rate agreement (same Markov kernel)
+    a_s = float(fit_s.mcmc.n_accepted) / float(fit_s.mcmc.n_proposals)
+    a_0 = float(fit_0.mcmc.n_accepted) / float(fit_0.mcmc.n_proposals)
+    assert abs(a_s - a_0) < 0.15, (a_s, a_0)
