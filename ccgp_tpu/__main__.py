@@ -79,10 +79,17 @@ def main(argv=None):
             start=base.start, n_max=1200, samp_size=300, net_samp_size=200,
             batch_size=base.batch_size, alpha_geweke=base.alpha_geweke,
             record=base.record)})
-    if args.speculative > 1 and hasattr(cfg, "mcmc"):
-        base = cfg.mcmc
-        cfg = type(cfg)(**{**cfg.__dict__, "mcmc": MCMCConfig(
-            **{**base.__dict__, "speculative": args.speculative})})
+    if args.speculative > 1:
+        if hasattr(cfg, "mcmc"):
+            base = cfg.mcmc
+            cfg = type(cfg)(**{**cfg.__dict__, "mcmc": MCMCConfig(
+                **{**base.__dict__, "speculative": args.speculative})})
+        else:
+            import sys
+
+            print(f"warning: --speculative={args.speculative} ignored — "
+                  f"experiment '{args.experiment}' has no MCMC stage",
+                  file=sys.stderr)
     key = jax.random.PRNGKey(args.seed)
     dtype = jnp.float64 if args.f64 else jnp.float32
     out = mod.run(cfg, key=key, dtype=dtype)

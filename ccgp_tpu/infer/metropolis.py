@@ -141,21 +141,34 @@ def metropolis(
 
     lp0 = logpost(z0)
 
-    samples0 = jnp.zeros((n_max, dim), dtype)
-    betas0 = jnp.zeros((n_max,), dtype)
-    logposts0 = jnp.full((n_max,), -jnp.inf, dtype)
+    # ONE packed record buffer [z | beta | logpost] per row: a single
+    # unconditional dynamic-update-slice per round replaces three
+    # buffer-wide jnp.where selects + three scatters (measured ~3 us/round
+    # of the ~12 us non-kernel round cost on v5e). Rows are written every
+    # round: when nothing is recorded the row index does not advance, so
+    # the slot is overwritten by the next real record and rows >= k_rec
+    # are never read (`retained` clamps into the recorded range).
+    packed0 = jnp.zeros((n_max, dim + 2), dtype)
 
-    def do_geweke(samples, k_rec):
-        window = jax.lax.dynamic_slice_in_dim(samples, k_rec - samp_size,
+    def pack_row(z_new, beta_new, val_new):
+        return jnp.concatenate([z_new, beta_new[None], val_new[None]])
+
+    def write_row(P, row, z_new, beta_new, val_new):
+        return jax.lax.dynamic_update_slice(
+            P, pack_row(z_new, beta_new, val_new)[None, :],
+            (row, jnp.zeros((), row.dtype)))
+
+    def do_geweke(P, k_rec):
+        window = jax.lax.dynamic_slice_in_dim(P, k_rec - samp_size,
                                               samp_size)
-        return geweke_pvalue(window)
+        return geweke_pvalue(window[:, :dim])
 
     def cond(state):
-        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = state
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = state
         return (k_rec < n_max) & (pv < alpha_geweke) & (n_prop < max_proposals)
 
     def body(state):
-        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = state
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = state
         key, k1, k2 = jax.random.split(key, 3)
         eps = jax.random.normal(k1, (dim,), dtype)
         cand = z + prop_chol @ eps
@@ -171,23 +184,20 @@ def metropolis(
             rec = accept
         else:
             rec = jnp.asarray(True)
-        row = k_rec
-        S = jnp.where(rec, S.at[row].set(z_new), S)
-        B = jnp.where(rec, B.at[row].set(beta_new), B)
-        L = jnp.where(rec, L.at[row].set(val_new), L)
+        P = write_row(P, k_rec, z_new, beta_new, val_new)
         k_rec = k_rec + rec.astype(k_rec.dtype)
         n_acc = n_acc + accept.astype(n_acc.dtype)
         n_prop = n_prop + 1
 
         check = rec & (k_rec >= samp_size) & (k_rec % batch_size == 0)
-        pv = jax.lax.cond(check, lambda: do_geweke(S, k_rec), lambda: pv)
+        pv = jax.lax.cond(check, lambda: do_geweke(P, k_rec), lambda: pv)
         return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
-                S, B, L, pv)
+                P, pv)
 
     K = int(speculative) if speculative else 1
 
     def body_spec(state):
-        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = state
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = state
         key, k1, k2 = jax.random.split(key, 3)
         eps = jax.random.normal(k1, (K, dim), dtype)
         cands = z[None, :] + eps @ prop_chol.T
@@ -206,21 +216,18 @@ def metropolis(
         z_new = jnp.where(any_acc, cands[first], z)
         val_new = jnp.where(any_acc, vals[first], lp_val)
         beta_new = jnp.where(any_acc, betas[first], lp_beta)
-        row = k_rec
-        S = jnp.where(any_acc, S.at[row].set(z_new), S)
-        B = jnp.where(any_acc, B.at[row].set(beta_new), B)
-        L = jnp.where(any_acc, L.at[row].set(val_new), L)
+        P = write_row(P, k_rec, z_new, beta_new, val_new)
         k_rec = k_rec + any_acc.astype(k_rec.dtype)
         n_acc = n_acc + any_acc.astype(n_acc.dtype)
         n_prop = n_prop + consumed.astype(n_prop.dtype)
 
         check = any_acc & (k_rec >= samp_size) & (k_rec % batch_size == 0)
-        pv = jax.lax.cond(check, lambda: do_geweke(S, k_rec), lambda: pv)
+        pv = jax.lax.cond(check, lambda: do_geweke(P, k_rec), lambda: pv)
         return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
-                S, B, L, pv)
+                P, pv)
 
     def body_mh(state):
-        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = state
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = state
         key, k1, k2 = jax.random.split(key, 3)
         eps = jax.random.normal(k1, (K, dim), dtype)
         cands = z[None, :] + eps @ prop_chol.T
@@ -230,28 +237,32 @@ def metropolis(
         z_new = jnp.where(any_acc, zc, z)
         val_new = jnp.where(any_acc, vc, lp_val)
         beta_new = jnp.where(any_acc, bc, lp_beta)
-        row = k_rec
-        S = jnp.where(any_acc, S.at[row].set(z_new), S)
-        B = jnp.where(any_acc, B.at[row].set(beta_new), B)
-        L = jnp.where(any_acc, L.at[row].set(val_new), L)
+        P = write_row(P, k_rec, z_new, beta_new, val_new)
         k_rec = k_rec + any_acc.astype(k_rec.dtype)
         n_acc = n_acc + any_acc.astype(n_acc.dtype)
         n_prop = n_prop + consumed.astype(n_prop.dtype)
         check = any_acc & (k_rec >= samp_size) & (k_rec % batch_size == 0)
-        pv = jax.lax.cond(check, lambda: do_geweke(S, k_rec), lambda: pv)
+        pv = jax.lax.cond(check, lambda: do_geweke(P, k_rec), lambda: pv)
         return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
-                S, B, L, pv)
+                P, pv)
 
     if K > 1:
         body_fn = body_mh if mh_round is not None else body_spec
     else:
         body_fn = body
     init = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
-            z0, lp0.val, lp0.beta, samples0, betas0, logposts0,
-            jnp.asarray(0.0, dtype))
-    (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, S, B, L, pv) = (
+            z0, lp0.val, lp0.beta, packed0, jnp.asarray(0.0, dtype))
+    (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = (
         jax.lax.while_loop(cond, body_fn, init)
     )
+    # unpack; rows >= n_recorded are scratch (never read by consumers) —
+    # logposts there are forced back to -inf to keep the documented
+    # "unrecorded rows are -inf" invariant for serialization round-trips
+    row_ids = jnp.arange(n_max)
+    recorded = row_ids < k_rec
+    S = P[:, :dim]
+    B = P[:, dim]
+    L = jnp.where(recorded, P[:, dim + 1], -jnp.inf)
     return MetropolisResult(
         samples=S, betas=B, logposts=L, n_recorded=k_rec,
         n_proposals=n_prop, n_accepted=n_acc, pvalue=pv,

@@ -52,7 +52,20 @@ def kriging_predict(
     fit: KrigingMLE,
     x_new: jnp.ndarray,
     alpha: float = 0.05,
+    variant: str = "reference",     # 'reference' (1-D script) | 'mlegp'
 ) -> KrigingPrediction:
+    """variant='reference': the 1-D script's universal-kriging variance with
+    the Q^2 Student-t correction (`1D...Public.R:481-539`).
+
+    variant='mlegp': mlegp::predict.gp(se.fit=TRUE) semantics — the >=2-D
+    scripts' single-GP baseline (`Ground Vibrations Emulator/Combined GP
+    Ground Vibrations.R:662-666`): se = sqrt(sig2 (1 - r'R^{-1}r)) with NO
+    GLS mean-correction term and NO Q^2 rescaling, intervals mean +/-
+    qt(1-alpha/2, n-1) * se. Identified by least-squares recovery of
+    mlegp's exact fit from the archived GV table
+    (`scripts/recover_mlegp_fit.py`: se-formula residual 1.7e-7 for this
+    variant vs 3e-2 with the mean-correction term).
+    """
     n = y.shape[-1]
     chol = fit.chol
     a = linalg.tri_solve(chol, y - fit.beta)       # L^{-1}(y - beta 1)
@@ -63,6 +76,18 @@ def kriging_predict(
     mean = fit.beta + jnp.einsum("n,nt->t", a, v)
 
     rinv_quad = jnp.einsum("nt,nt->t", v, v)
+    df = n - 1
+    tq = _t_quantile(1.0 - alpha / 2.0, df)
+
+    if variant == "mlegp":
+        var_post = fit.sigma2 * (1.0 - rinv_quad)
+        sd_post = jnp.sqrt(jnp.maximum(var_post, 0.0))
+        return KrigingPrediction(mean=mean, var=var_post,
+                                 lower=mean - tq * sd_post,
+                                 upper=mean + tq * sd_post)
+    if variant != "reference":
+        raise ValueError(variant)
+
     one_rinv_r = jnp.einsum("n,nt->t", u, v)
     denom = jnp.sum(u * u)
     var = fit.sigma2 * (1.0 - rinv_quad + (1.0 - one_rinv_r) ** 2 / denom)
@@ -70,10 +95,8 @@ def kriging_predict(
     # Student-t correction: Q^2 = y'(R^{-1} - uu'/(1'R^{-1}1))y = n*sigma2_hat
     w = linalg.tri_solve(chol, y)
     q_sq = jnp.sum(w * w) - jnp.sum(u * w) ** 2 / denom
-    df = n - 1
     var_post = q_sq * var / (fit.sigma2 * df)
     sd_post = jnp.sqrt(jnp.maximum(var_post, 0.0))
-    tq = _t_quantile(1.0 - alpha / 2.0, df)
     return KrigingPrediction(mean=mean, var=var_post,
                              lower=mean - tq * sd_post,
                              upper=mean + tq * sd_post)

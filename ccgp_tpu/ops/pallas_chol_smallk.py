@@ -482,6 +482,8 @@ def fused_mix_mh_round(
     tile = -(-n // TILE) * TILE
     if tile > 2 * TILE:
         raise ValueError(f"n must be <= {2 * TILE}")
+    if d > TILE:
+        raise ValueError(f"d must be <= {TILE}")
     ns = -(-n // 8) * 8
     diffs = x[:, None, :] - x[None, :, :]
     d2 = jnp.transpose(diffs * diffs, (2, 0, 1))

@@ -99,10 +99,10 @@ def posterior_predict(
     ref = mu0 if quant_ref is None else quant_ref
     quant = stats.masked_mean((ref[None, :] <= pp).T.astype(pp.dtype),
                               valid.T)
-    lower = jax.vmap(lambda col, vv: stats.masked_quantile(col, vv, alpha / 2))(
-        pp.T, valid.T)
-    upper = jax.vmap(lambda col, vv: stats.masked_quantile(col, vv, 1 - alpha / 2))(
-        pp.T, valid.T)
+    # both interval endpoints from ONE sort of the (t, m) draw matrix —
+    # identical values to two masked_quantile calls at half the sort cost
+    lower, upper = stats.masked_quantile_pair(pp.T, valid.T,
+                                              alpha / 2, 1 - alpha / 2)
     return PosteriorPrediction(mean=mu0, lower=lower, upper=upper,
                                quant=quant, draw_mean=draw_mean,
                                draw_var=draw_var)

@@ -55,6 +55,32 @@ def masked_quantile(x: jnp.ndarray, valid: jnp.ndarray, q) -> jnp.ndarray:
     return (xlo + frac * (xhi - xlo)).squeeze(-1)
 
 
+def masked_quantile_pair(x: jnp.ndarray, valid: jnp.ndarray,
+                         q_lo, q_hi) -> tuple:
+    """Both type-7 quantiles from ONE sort (the MC-interval hot path sorts
+    (t, m) draw matrices; two separate masked_quantile calls cost two full
+    XLA sorts — measured ~5.5 ms of the 100-pt full-Bayes fit's predict
+    stage at m=1000, t=625). Result identical to two masked_quantile calls.
+    """
+    n = x.shape[-1]
+    big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
+    xs = jnp.sort(jnp.where(valid, x, big), axis=-1)
+    m = jnp.sum(valid, axis=-1)
+
+    def interp(q):
+        q = jnp.asarray(q, x.dtype)
+        h = (m.astype(x.dtype) - 1.0) * q
+        lo = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, n - 1)
+        hi = jnp.clip(lo + 1, 0, n - 1)
+        hi = jnp.minimum(hi, jnp.maximum(m - 1, 0))
+        frac = h - lo.astype(x.dtype)
+        xlo = jnp.take_along_axis(xs, lo[..., None], -1)
+        xhi = jnp.take_along_axis(xs, hi[..., None], -1)
+        return (xlo + frac[..., None] * (xhi - xlo)).squeeze(-1)
+
+    return interp(q_lo), interp(q_hi)
+
+
 def masked_mean(x: jnp.ndarray, valid: jnp.ndarray, axis=-1) -> jnp.ndarray:
     w = valid.astype(x.dtype)
     return jnp.sum(x * w, axis=axis) / jnp.maximum(jnp.sum(w, axis=axis), 1.0)
