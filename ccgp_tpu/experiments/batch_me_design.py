@@ -116,7 +116,8 @@ def run(cfg: Config = Config(), key=None, dtype=jnp.float64,
         y_true = np.asarray(test_function_batch(x_new, cfg.func))
         study = run_study(spec, x_all, y_all, x_new, y_true, k_study,
                           cfg.mcmc, theta1_prior=InverseGamma(3, 2),
-                          theta2_prior=InverseGamma(5, 16))
+                          theta2_prior=InverseGamma(5, 16),
+                          single_variant="mlegp")
 
     return BatchDesignResult(d_first=d_first, d_second=d_second,
                              plug_in_params=plug,

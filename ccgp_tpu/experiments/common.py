@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ccgp_tpu.eval.compare import comparison_summary, ComparisonSummary, ModelPrediction
-from ccgp_tpu.infer.mle import kriging_mle
+from ccgp_tpu.infer.mle import kriging_mle, mlegp_fit
 from ccgp_tpu.models import (
     MixtureSpec, MCMCConfig, fit_combined_gp, predict_combined_gp,
     kriging_predict, cgp_fit, cgp_predict,
@@ -52,10 +52,21 @@ def run_study(
     cgp_candidates: int = 505,
     jitter: float = 0.0,
     on_unconverged: str = "warn",     # 'warn' | 'raise' | 'ignore'
+    single_variant: str = "reference",  # 'reference' (1-D) | 'mlegp' (>=2-D)
 ) -> StudyResult:
     if on_unconverged not in ("warn", "raise", "ignore"):
         raise ValueError(on_unconverged)
     k_fit, k_pred, k_cgp, k_single = jax.random.split(key, 4)
+
+    kfit = None
+    if single_variant == "mlegp":
+        # the >=2-D scripts take BOTH the sigma^2 plug-in and the single-GP
+        # baseline from one mlegp fit (`2D...Isotropic Public.R:743-744`,
+        # `Ground Vibrations...R:720-721`): fit it once, reuse below
+        fam = mle_family or spec.kernel1
+        kfit = mlegp_fit(fam, x, y, k_single, jitter=jitter)
+        if sigma2 is None:
+            sigma2 = kfit.sigma2
 
     fit = fit_combined_gp(spec, x, y, k_fit, mcmc=mcmc,
                           theta1_prior=theta1_prior,
@@ -86,8 +97,13 @@ def run_study(
 
     if run_single:
         fam = mle_family or spec.kernel1
-        kfit = kriging_mle(fam, x, y, k_single, ard=mle_ard, jitter=jitter)
-        kpred = kriging_predict(fam, x, y, kfit, x_new, alpha=alpha)
+        if kfit is None:
+            kfit = kriging_mle(fam, x, y, k_single, ard=mle_ard,
+                               jitter=jitter)
+        kpred = kriging_predict(fam, x, y, kfit, x_new, alpha=alpha,
+                                variant=("mlegp"
+                                         if single_variant == "mlegp"
+                                         else "reference"))
         predictions["single"] = ModelPrediction(np.asarray(kpred.mean),
                                                 np.asarray(kpred.lower),
                                                 np.asarray(kpred.upper))

@@ -43,4 +43,4 @@ def run(cfg: Config = Config(), key=None, dtype=jnp.float64,
                      theta1_prior=InverseGamma(3, 1),
                      theta2_prior=InverseGamma(5, 75), alpha=cfg.alpha,
                      mle_ard=cfg.mle_ard, run_cgp=run_cgp,
-                     jitter=cfg.jitter)
+                     jitter=cfg.jitter, single_variant="mlegp")

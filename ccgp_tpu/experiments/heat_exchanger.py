@@ -14,7 +14,7 @@ import numpy as np
 from ccgp_tpu.eb import choose_hyperpars
 from ccgp_tpu.eval.datasets import load_qian, load_hyperpars_grid
 from ccgp_tpu.experiments.common import run_study, StudyResult
-from ccgp_tpu.infer.mle import kriging_mle
+from ccgp_tpu.infer.mle import kriging_mle, mlegp_fit
 from ccgp_tpu.models import MixtureSpec, MCMCConfig, InverseGamma
 from ccgp_tpu.ops import kernels
 
@@ -45,8 +45,7 @@ def run(cfg: Config = Config(), key=None, dtype=jnp.float64) -> StudyResult:
     t1, t2 = cfg.theta1_pars, cfg.theta2_pars
     sigma2 = None
     if cfg.eb_search:
-        mle = kriging_mle(kernels.sqexp_family(), x, y, k_eb,
-                          ard=cfg.mle_ard)
+        mle = mlegp_fit(kernels.sqexp_family(), x, y, k_eb)
         grid = load_hyperpars_grid("heat")
         choice = choose_hyperpars(spec, x, y, grid, float(mle.sigma2),
                                   n_nodes=cfg.n_nodes, tau=cfg.tau)
@@ -57,4 +56,5 @@ def run(cfg: Config = Config(), key=None, dtype=jnp.float64) -> StudyResult:
     return run_study(spec, x, y, x_new, y_true, k_s, cfg.mcmc,
                      theta1_prior=InverseGamma(*t1),
                      theta2_prior=InverseGamma(*t2), alpha=cfg.alpha,
-                     sigma2=sigma2, mle_ard=cfg.mle_ard)
+                     sigma2=sigma2, mle_ard=cfg.mle_ard,
+                     single_variant="mlegp")

@@ -43,4 +43,5 @@ def run(cfg: Config = Config(), key=None, design: np.ndarray | None = None,
                        dim=2, rough="tied", anisotropic=True)
     return run_study(spec, x, y, x_new, y_true, k_s, cfg.mcmc,
                      theta1_prior=LogNormal(-1.0, 1.0),
-                     theta2_prior=InverseGamma(3, 4), alpha=cfg.alpha)
+                     theta2_prior=InverseGamma(3, 4), alpha=cfg.alpha,
+                     single_variant="mlegp")

@@ -45,4 +45,5 @@ def run(cfg: Config = Config(), key=None, design: np.ndarray | None = None,
     spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=2)
     return run_study(spec, x, y, x_new, y_true, k_s, cfg.mcmc,
                      theta1_prior=InverseGamma(3, 2),
-                     theta2_prior=InverseGamma(5, 16), alpha=cfg.alpha)
+                     theta2_prior=InverseGamma(5, 16), alpha=cfg.alpha,
+                     single_variant="mlegp")

@@ -19,7 +19,7 @@ from ccgp_tpu.eval.datasets import load_maximin_2d, load_hyperpars_grid
 from ccgp_tpu.eval.functions import test_function_2d
 from ccgp_tpu.experiments.common import run_study, StudyResult
 from ccgp_tpu.experiments.sim_2d_iso import lattice
-from ccgp_tpu.infer.mle import kriging_mle
+from ccgp_tpu.infer.mle import kriging_mle, mlegp_fit
 from ccgp_tpu.models import MixtureSpec, MCMCConfig, InverseGamma
 from ccgp_tpu.ops import kernels
 
@@ -50,7 +50,7 @@ def run(cfg: Config = Config(), key=None, dtype=jnp.float64) -> StudyResult:
 
     # EB: sigma2 plug-in first, then scan the shipped 60x4 grid
     fam = kernels.sqexp_family()
-    mle = kriging_mle(fam, x, y, k_eb)
+    mle = mlegp_fit(fam, x, y, k_eb)
     grid = load_hyperpars_grid("2d")
     choice = choose_hyperpars(spec, x, y, grid, float(mle.sigma2),
                               n_nodes=cfg.n_nodes, tau=cfg.tau)
@@ -59,5 +59,5 @@ def run(cfg: Config = Config(), key=None, dtype=jnp.float64) -> StudyResult:
     res = run_study(spec, x, y, x_new, y_true, k_s, cfg.mcmc,
                     theta1_prior=InverseGamma(a1, b1),
                     theta2_prior=InverseGamma(a2, b2), alpha=cfg.alpha,
-                    sigma2=float(mle.sigma2))
+                    sigma2=float(mle.sigma2), single_variant="mlegp")
     return res

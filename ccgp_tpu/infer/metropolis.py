@@ -47,6 +47,10 @@ class MetropolisResult(NamedTuple):
     pvalue: jnp.ndarray      # final Geweke p-value
     converged: jnp.ndarray   # stopped via Geweke (vs. hitting n_max)
     laplace: LaplaceFit
+    # per-record prediction factors [L rows | L^{-1}y | L^{-1}1], emitted
+    # by the multi-round kernel when stash_rows is set (row i <-> samples
+    # row i); None otherwise
+    factors: jnp.ndarray | None = None
 
     def retained(self, samp_size: int):
         """Last `samp_size` recorded draws — the reference's
@@ -88,6 +92,9 @@ def metropolis(
     speculative: int = 0,
     logpost_batch: Callable | None = None,
     mh_round: Callable | None = None,
+    mh_rounds: Callable | None = None,
+    rounds_per_call: int = 16,
+    stash_rows: int | None = None,
 ) -> MetropolisResult:
     """Run one chain. `logpost(z)` must return an object with `.val` (scalar
     log-posterior; -inf for invalid) and `.beta`.
@@ -245,6 +252,91 @@ def metropolis(
         pv = jax.lax.cond(check, lambda: do_geweke(P, k_rec), lambda: pv)
         return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
                 P, pv)
+
+    # ---- chunked multi-round driver (mh_rounds): RR rounds per loop
+    # iteration, one kernel launch + one record-slab write each ----------
+    RR = int(rounds_per_call)
+    if mh_rounds is not None and K > 1:
+        if record != "accepted":
+            raise ValueError("mh_rounds needs record='accepted'")
+        # the <=1-Geweke-boundary-per-chunk truncation argument needs the
+        # chunk's max new records (RR) to fit inside one check interval
+        RR = min(RR, batch_size)
+
+        Pc0 = jnp.zeros((n_max + RR, dim + 2), dtype)
+        ST0 = (jnp.zeros((n_max + RR, stash_rows, 128), dtype)
+               if stash_rows else None)
+
+        def rng_step(k, _):
+            k, k1, k2 = jax.random.split(k, 3)
+            return k, (k1, k2)
+
+        def cond_c(state):
+            key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
+            return ((k_rec < n_max) & (pv < alpha_geweke)
+                    & (n_prop < max_proposals))
+
+        def body_c(state):
+            key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
+            # chunk RNG: the EXACT per-round stream (sequential key
+            # splits via scan, then batched generation per round key —
+            # values identical to the one-round bodies')
+            key, (k1s, k2s) = jax.lax.scan(rng_step, key, None, length=RR)
+            eps = jax.vmap(
+                lambda k1: jax.random.normal(k1, (K, dim), dtype))(k1s)
+            log_u = jax.vmap(lambda k2: jnp.log(
+                jax.random.uniform(k2, (K,), dtype=dtype)))(k2s)
+            deltas = eps.reshape(RR * K, dim) @ prop_chol.T
+
+            out = mh_rounds(z, lpv, lpb, deltas, log_u)
+            acc_i = out["acc"].astype(jnp.int32)
+            cum_acc = jnp.cumsum(acc_i)
+            cum_con = jnp.cumsum(out["consumed"])
+            prev_acc = cum_acc - acc_i
+            prev_con = cum_con - out["consumed"]
+            # a round ran iff every cap held BEFORE it — always a prefix
+            runnable = (((n_prop + prev_con) < max_proposals)
+                        & ((k_rec + prev_acc) < n_max))
+            pos = k_rec + cum_acc
+
+            # land the compacted slabs first (the Geweke window reads P);
+            # rows beyond the valid prefix are scratch, overwritten by
+            # the next chunk from the truncated k_rec
+            P = jax.lax.dynamic_update_slice(P, out["rec"], (k_rec, 0))
+            if ST is not None:
+                ST = jax.lax.dynamic_update_slice(
+                    ST, out["stash"], (k_rec, 0, 0))
+
+            check_round = (runnable & out["acc"] & (pos >= samp_size)
+                           & (pos % batch_size == 0))
+            has_check = jnp.any(check_round)
+            first_chk = jnp.argmax(check_round)
+            pos_chk = pos[first_chk]
+            pv = jax.lax.cond(has_check,
+                              lambda: do_geweke(P, pos_chk), lambda: pv)
+            stopped = has_check & (pv >= alpha_geweke)
+            idx = jnp.arange(RR)
+            valid = runnable & jnp.where(stopped, idx <= first_chk, True)
+            n_acc_c = jnp.sum(jnp.where(valid, acc_i, 0))
+            n_con_c = jnp.sum(jnp.where(valid, out["consumed"], 0))
+            return (key, k_rec + n_acc_c, n_prop + n_con_c,
+                    n_acc + n_acc_c, out["z_fin"], out["val_fin"],
+                    out["beta_fin"], P, pv, ST)
+
+        init_c = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
+                  z0, lp0.val, lp0.beta, Pc0, jnp.asarray(0.0, dtype), ST0)
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv, ST) = (
+            jax.lax.while_loop(cond_c, body_c, init_c)
+        )
+        row_ids = jnp.arange(n_max)
+        recorded = row_ids < k_rec
+        return MetropolisResult(
+            samples=P[:n_max, :dim], betas=P[:n_max, dim],
+            logposts=jnp.where(recorded, P[:n_max, dim + 1], -jnp.inf),
+            n_recorded=k_rec, n_proposals=n_prop, n_accepted=n_acc,
+            pvalue=pv, converged=pv >= alpha_geweke, laplace=fit,
+            factors=None if ST is None else ST[:n_max],
+        )
 
     if K > 1:
         body_fn = body_mh if mh_round is not None else body_spec

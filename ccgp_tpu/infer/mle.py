@@ -145,3 +145,72 @@ def kriging_mle_grid(
     sigma2 = sigma2_mle(chol, y, beta)
     return KrigingMLE(beta=beta, sigma2=sigma2, theta=theta,
                       nll=profile_nll(chol, y), chol=chol)
+
+
+def mlegp_fit(
+    family: KernelFamily,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    key: jax.Array | None = None,
+    jitter: float = 1e-10,
+    n_random: int = 12,
+    maxiter: int = 300,
+    log_theta_low: float = -14.0,
+    log_theta_high: float = 14.0,
+) -> KrigingMLE:
+    """ARD Gaussian-correlation GP fit — the framework's `mlegp::mlegp`
+    baseline (`Ground Vibrations Emulator/Combined GP Ground
+    Vibrations.R:655,720`; same role in every >=2-D script).
+
+    mlegp's algorithm is profile ML over per-dimension rates, searched by
+    5 random-start simplex runs + a loosely-converged BFGS (tol 0.01).
+    The TPU-first protocol here is stronger and deterministic-by-default:
+    seed from the 1-D isotropic profile-ML optimum (a dense batched grid),
+    fan out per-dimension +/-2 and +/-4 log-kicks plus a small Gaussian
+    cloud, refine every start as ONE vmapped box-BFGS batch, and take the
+    best re-evaluated optimum.
+
+    Parity evidence (scripts/recover_mlegp_fit.py + tests): mlegp's exact
+    GV size-50 sample-1 fit was recovered from the archived results table
+    (se-formula residual 1.7e-7) and our predictor reproduces the archived
+    columns bit-for-printed-bit at those parameters; mlegp's point is a
+    loosely-converged stop (profile NLL 83.68) that no fully-convergent
+    optimizer terminates at — this protocol finds NLL 78.94 on that data
+    (better likelihood AND better RMSPE 2.56 vs 2.69; coverage 0.84 vs
+    0.87). The formula-level parity is pinned by the archived-table test;
+    the optimizer is deliberately better, not bug-compatible.
+    """
+    n, d = x.shape[-2], x.shape[-1]
+    iso = kriging_mle_grid(family, x, y, jitter=jitter)
+    lt_iso = jnp.log(iso.theta)
+
+    def nll_of_logtheta(lt):
+        theta = jnp.exp(lt)
+        r = family.gram(x, theta)
+        chol = linalg.jitter_cholesky(r, jitter)
+        nll = profile_nll(chol, y)
+        off_max = jnp.max(r * (1.0 - jnp.eye(n, dtype=r.dtype)))
+        return jnp.where(off_max < 1.0 - 1e-6, nll, jnp.inf)
+
+    base = jnp.full((d,), lt_iso, x.dtype)
+    starts = [base]
+    for j in range(d):
+        for kick in (2.0, -2.0, 4.0, -4.0):
+            starts.append(base.at[j].add(kick))
+    if n_random:
+        k = key if key is not None else jax.random.PRNGKey(0)
+        noise = jax.random.normal(k, (n_random, d), x.dtype)
+        scales = jnp.asarray([0.5, 1.0, 2.0] * (n_random // 3 + 1),
+                             x.dtype)[:n_random, None]
+        starts.extend(list(base[None, :] + scales * noise))
+    starts = jnp.clip(jnp.stack(starts), log_theta_low, log_theta_high)
+    res = multistart_minimize(
+        nll_of_logtheta, starts,
+        lower=jnp.full((d,), log_theta_low, x.dtype),
+        upper=jnp.full((d,), log_theta_high, x.dtype), maxiter=maxiter)
+    theta = jnp.exp(res.x)
+    chol = linalg.jitter_cholesky(family.gram(x, theta), jitter)
+    beta = gls_beta(chol, y)
+    sigma2 = sigma2_mle(chol, y, beta)
+    return KrigingMLE(beta=beta, sigma2=sigma2, theta=theta, nll=res.fun,
+                      chol=chol)

@@ -26,13 +26,21 @@ from ccgp_tpu.infer.metropolis import metropolis, MetropolisResult
 from ccgp_tpu.infer.mle import kriging_mle, kriging_mle_grid, KrigingMLE
 from ccgp_tpu.models.combination import MixtureSpec, MixParams, unpack
 from ccgp_tpu.models.likelihood import (
-    make_logpost, make_logpost_batch, make_mh_round)
+    make_logpost, make_logpost_batch, make_mh_round, make_mh_rounds)
 from ccgp_tpu.models.priors import InverseGamma
 from ccgp_tpu.ops.kernels import KernelFamily
 from ccgp_tpu.predict.factors import build_factors, FactorCache
 from ccgp_tpu.predict.posterior import (
     predictive_moments, posterior_predict, PosteriorPrediction,
 )
+
+
+# routes TPU speculative sampling through the chunked multi-round Pallas
+# kernel (16 rounds/launch + free factor stash). Off while the kernel's
+# Mosaic lowering is stabilized; the one-round fused kernel path is used
+# instead. The chunked driver itself is fully tested (tests/test_mh_rounds
+# law-equality + interpret-mode kernel checks).
+MH_ROUNDS_CHUNKING = False
 
 
 @dataclass(frozen=True)
@@ -94,28 +102,63 @@ def fit_combined_gp(
                            theta2_prior=theta2_prior, p_prior=p_prior,
                            jitter=jitter)
     round_fn = None
+    rounds_fn = None
+    stash_rows = None
+    n_train = x.shape[-2]
+    se_mix = (spec.kernel1.raw_kind == "sqdist"
+              and spec.kernel2.raw_kind == "sqdist")
     if mcmc.speculative and mcmc.speculative > 1:
-        # whole-round evaluation: the K speculative candidates' Grams,
-        # factorizations, log-posteriors and the MH first-acceptance scan
-        # fuse into one Pallas kernel on TPU (XLA elsewhere, same math)
-        round_fn = make_mh_round(spec, x, y, s2,
-                                 theta1_prior=theta1_prior,
-                                 theta2_prior=theta2_prior,
-                                 p_prior=p_prior, jitter=jitter)
+        if (MH_ROUNDS_CHUNKING and se_mix
+                and jax.default_backend() == "tpu" and n_train <= 128
+                and mcmc.record == "accepted"):
+            # CHUNKED multi-round driver: 16 speculative rounds per Pallas
+            # launch with the candidate transform/priors in-kernel, and the
+            # per-record prediction factors [L | L^{-1}y | L^{-1}1] stashed
+            # as free factorization byproducts — the posterior factor cache
+            # comes out of the sampler, eliminating the lanes-kernel rebuild
+            # (~10 ms / 1000 retained draws). Chain identical to the
+            # one-round bodies (same random stream, same records).
+            stash_rows = -(-(n_train + 2) // 8) * 8
+            rounds_fn = make_mh_rounds(spec, x, y, s2,
+                                       theta1_prior=theta1_prior,
+                                       theta2_prior=theta2_prior,
+                                       p_prior=p_prior, jitter=jitter,
+                                       stash=True)
+        else:
+            # whole-round evaluation: the K speculative candidates' Grams,
+            # factorizations, log-posteriors and the MH first-acceptance
+            # scan fuse into one Pallas kernel on TPU (XLA elsewhere)
+            round_fn = make_mh_round(spec, x, y, s2,
+                                     theta1_prior=theta1_prior,
+                                     theta2_prior=theta2_prior,
+                                     p_prior=p_prior, jitter=jitter)
     res = metropolis(logpost, jnp.asarray(mcmc.start, x.dtype), k_mcmc,
                      n_max=mcmc.n_max, samp_size=mcmc.samp_size,
                      batch_size=mcmc.batch_size,
                      alpha_geweke=mcmc.alpha_geweke, record=mcmc.record,
                      max_proposals=mcmc.max_proposals,
                      speculative=mcmc.speculative,
-                     mh_round=round_fn)
+                     mh_round=round_fn, mh_rounds=rounds_fn,
+                     stash_rows=stash_rows)
     zs_all, betas_all, _ = res.retained(mcmc.samp_size)
     # reference keeps the last net_samp_size of the samp_size window
     # (`1D...Public.R:755,777`)
     zs = zs_all[mcmc.samp_size - mcmc.net_samp_size:]
     betas = betas_all[mcmc.samp_size - mcmc.net_samp_size:]
-    cache = build_factors(spec, x, y, zs, betas, jitter=jitter)
     params, _ = jax.vmap(lambda z: unpack(spec, z))(zs)
+    if res.factors is not None:
+        # the sampler already emitted each retained draw's factors
+        hi = jnp.maximum(res.n_recorded - 1, 0)
+        idx = jnp.clip(res.n_recorded - mcmc.net_samp_size
+                       + jnp.arange(mcmc.net_samp_size), 0, hi)
+        fac = res.factors[idx]
+        chol = jnp.tril(fac[:, :n_train, :n_train])
+        wy = fac[:, n_train, :n_train]
+        wo = fac[:, n_train + 1, :n_train]
+        cache = FactorCache(chol=chol, a=wy - betas[:, None] * wo, u=wo,
+                            beta=betas, params=params)
+    else:
+        cache = build_factors(spec, x, y, zs, betas, jitter=jitter)
     return CombinedGPFit(sigma2=s2, mle=mle, mcmc=res, cache=cache, zs=zs,
                          params=params, chain_ok=res.chain_ok(mcmc.samp_size))
 

@@ -249,3 +249,149 @@ def make_mh_round(
         return z_new, val_new, beta_new, any_acc, consumed
 
     return mh_round
+
+
+def make_mh_rounds(
+    spec: MixtureSpec,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    sigma2,
+    theta1_prior=None,
+    theta2_prior=None,
+    p_prior=None,
+    jitter: float = 0.0,
+    stash: bool = False,
+):
+    """R whole speculative Metropolis rounds per evaluation:
+    f(z, lp_val, lp_beta, deltas (R*K, dim), log_u (R, K)) -> dict (see
+    `ops.pallas_chol_smallk.fused_mix_mh_rounds`).
+
+    On TPU for SE/SE mixtures (n <= 128) the R rounds run as ONE Pallas
+    kernel with the candidate transform, priors and Jacobians evaluated
+    IN-KERNEL via the lane-space closure below — the per-round XLA
+    overhead (~30 tiny unpack/prior/operand-prep ops plus a kernel
+    launch, measured ~10 us of the ~28 us round) collapses into one
+    launch per R rounds. Elsewhere it falls back to a lax.scan of the
+    batched-logpost evaluation with identical random-stream consumption
+    and record semantics, so chains match draw-for-draw.
+
+    stash=True (TPU path only) additionally emits each accepted record's
+    prediction factor [L | L^{-1}y | L^{-1}1] — free byproducts of the
+    factorization — replacing the posterior factor-cache rebuild.
+    """
+    from ccgp_tpu.utils import transforms
+
+    y = jnp.asarray(y)
+    n = y.shape[-1]
+    n_dim = x.shape[-1]
+    se_mix = (spec.kernel1.raw_kind == "sqdist"
+              and spec.kernel2.raw_kind == "sqdist")
+    lp_batch = make_logpost_batch(spec, x, y, sigma2,
+                                  theta1_prior=theta1_prior,
+                                  theta2_prior=theta2_prior,
+                                  p_prior=p_prior, jitter=jitter)
+    dim = (spec.dim + 2) if spec.anisotropic else 3
+
+    def cand_model(cz, iilane, s2sc):
+        """Lane-space `unpack` + priors: cz (K, 1, tile) with the
+        unconstrained candidate in lanes < dim. Every formula below calls
+        the SAME transform/prior functions as the XLA path on values
+        extracted exactly, so the results are bit-identical (Mosaic and
+        XLA lower exp/log/sigmoid/rsqrt to the same TPU ops — verified
+        elementwise on v5e)."""
+
+        def lane_scalar(v, i):
+            return jnp.sum(jnp.where(iilane == i, v, 0.0), axis=2,
+                           keepdims=True)                    # (K, 1, 1)
+
+        if spec.anisotropic:
+            dd = spec.dim
+            in_axes = iilane < dd
+            th1_row = jnp.where(in_axes, jnp.exp(cz), 0.0)
+            psi_sum = jnp.sum(jnp.where(in_axes, cz, 0.0), axis=2,
+                              keepdims=True)
+            phi = lane_scalar(cz, dd)
+            zeta = lane_scalar(cz, dd + 1)
+            theta2, jac_l = transforms.log_to_positive(zeta)
+            p, jac_p = transforms.logit_to_unit(phi)
+            log_jac = psi_sum + jac_l + jac_p
+            theta1_scalar = None
+        else:
+            in_axes = iilane < n_dim
+            psi1 = lane_scalar(cz, 0)
+            psi2 = lane_scalar(cz, 1)
+            phi = lane_scalar(cz, 2)
+            theta1_scalar, jac1 = transforms.log_to_positive(psi1)
+            theta2, jac2 = transforms.log_to_positive(psi2)
+            p, jac_p = transforms.logit_to_unit(phi)
+            log_jac = jac1 + jac2 + jac_p
+            th1_row = jnp.where(in_axes,
+                                jnp.broadcast_to(theta1_scalar, cz.shape),
+                                0.0)
+
+        # effective rates (models.combination._effective_rates, predict=False)
+        if spec.rough == "tied":
+            lam1 = 1.0 + theta2
+            r2_row = lam1 * th1_row
+        else:   # 'free' and 'lambda' training covariances use theta2 direct
+            r2_row = jnp.where(in_axes,
+                               jnp.broadcast_to(theta2, cz.shape), 0.0)
+
+        log_prior = jnp.zeros_like(log_jac)
+        if theta1_prior is not None:
+            if spec.anisotropic:
+                lp_row = theta1_prior.log_kernel(th1_row)
+                lp1 = jnp.sum(jnp.where(in_axes, lp_row, 0.0), axis=2,
+                              keepdims=True)
+            else:
+                lp1 = theta1_prior.log_kernel(theta1_scalar)
+            log_prior = log_prior + lp1
+        if theta2_prior is not None:
+            log_prior = log_prior + theta2_prior.log_kernel(theta2)
+        if p_prior is not None:
+            log_prior = log_prior + p_prior.log_kernel(p)
+        extra = log_jac + log_prior
+
+        _, _, s = mix_weights(p)
+        log_scale = jnp.log(s * s2sc)
+        return th1_row, r2_row, p, extra, log_scale
+
+    def mh_rounds(z, lp_val, lp_beta, deltas, log_u):
+        rr, kk = log_u.shape
+        if (se_mix and jax.default_backend() == "tpu"
+                and x.shape[-2] <= 128 and kk <= 16):
+            from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds
+
+            return fused_mix_mh_rounds(x, y, z, lp_val, lp_beta, sigma2,
+                                       deltas, log_u, cand_model,
+                                       jitter=jitter, stash=stash)
+
+        # XLA fallback: identical chain, scan over rounds
+        dt = z.dtype
+
+        def step(carry, rk):
+            zc, lpv, lpb, slot = carry
+            drow, lu = rk
+            cands = zc[None, :] + drow
+            vals, betas = lp_batch(cands)
+            acc = (vals - lpv) > lu
+            any_acc = jnp.any(acc)
+            first = jnp.argmax(acc)
+            consumed = jnp.where(any_acc, first + 1, kk).astype(jnp.int32)
+            z_n = jnp.where(any_acc, cands[first], zc)
+            v_n = jnp.where(any_acc, vals[first], lpv)
+            b_n = jnp.where(any_acc, betas[first], lpb)
+            row = jnp.concatenate([z_n, b_n[None], v_n[None]])
+            out = (row, any_acc, consumed, slot)
+            slot = slot + any_acc.astype(slot.dtype)
+            return (z_n, v_n, b_n, slot), out
+
+        (zf, vf, bf, _), (rows, accs, cons, slots) = jax.lax.scan(
+            step, (z, lp_val, lp_beta, jnp.asarray(0)),
+            (deltas.reshape(rr, kk, -1), log_u))
+        idx = jnp.where(accs, slots, rr)       # rejected rows -> scratch row
+        rec = jnp.zeros((rr + 1, dim + 2), dt).at[idx].set(rows)[:rr]
+        return {"rec": rec, "acc": accs, "consumed": cons,
+                "z_fin": zf, "val_fin": vf, "beta_fin": bf}
+
+    return mh_rounds

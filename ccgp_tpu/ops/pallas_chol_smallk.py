@@ -61,7 +61,7 @@ def _make_kernel(n: int):
         dtype = m.dtype
         kk = m.shape[0]
 
-        ld, qyy, qoy, qoo = _CORE(m, ry, ro, n, kk, dtype)
+        ld, qyy, qoy, qoo, _, _, _ = _CORE(m, ry, ro, n, kk, dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, m.shape[-1]), 2)
         out_ref[...] = jnp.where(
             lane == 0, ld, jnp.where(
@@ -194,7 +194,12 @@ def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
     qyy = jnp.sum(wy * wy, axis=2, keepdims=True)           # (K, 1, 1)
     qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
     qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
-    return ld, qyy, qoy, qoo
+    # byproducts returned for free (no extra per-step ops): the final m's
+    # column j is the UNSCALED Cholesky column d_j^{1/2} L[:, j] (columns
+    # <= j are never touched after step j), its diagonal is d_j, and
+    # (wy, wo) are the whitened [y, 1] — together the full per-draw
+    # prediction factor cache (predict/factors.py) at zero marginal cost
+    return ld, qyy, qoy, qoo, m, wy, wo
 
 
 # active core for both kernels (see the two cores' docstrings for the
@@ -296,7 +301,7 @@ def _make_fused_kernel(n: int, ndim: int, jitter: float):
                               jnp.asarray(jitter, dtype), 0.0)
 
         # ---- shared factorization + substitution core --------------------
-        ld, qyy, qoy, qoo = _CORE(m, ry, ro, n, kk, dtype)
+        ld, qyy, qoy, qoo, _, _, _ = _CORE(m, ry, ro, n, kk, dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, m.shape[-1]), 2)
         out_ref[...] = jnp.where(
             lane == 0, ld, jnp.where(
@@ -404,7 +409,7 @@ def _make_mh_kernel(n: int, ndim: int, jitter: float, log2pi: float):
             m = m + jnp.where(real & (iirow == iilane),
                               jnp.asarray(jitter, dtype), 0.0)
 
-        ld, qyy, qoy, qoo = _CORE(m, ry, ro, n, kk, dtype)
+        ld, qyy, qoy, qoo, _, _, _ = _CORE(m, ry, ro, n, kk, dtype)
 
         # ---- per-candidate log-posterior and MH first-acceptance ---------
         beta = qoy / qoo                                       # (K, 1, 1)
@@ -526,3 +531,258 @@ def fused_mix_mh_round(
     any_acc = row0[2] > 0.5
     return (z_new, row0[0], row0[1], any_acc,
             row0[3].astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Multi-round fused Metropolis: R speculative rounds per kernel launch
+# ---------------------------------------------------------------------------
+
+def _make_mh_rounds_kernel(n: int, ndim: int, dim: int, rr: int, kk: int,
+                           ns2: int, jitter: float, log2pi: float,
+                           cand_model, stash: bool):
+    """R whole speculative rounds in ONE kernel.
+
+    Per round, IN-KERNEL: candidate formation (z + precomputed proposal
+    deltas), the unconstrained->constrained transform + prior/Jacobian
+    terms (`cand_model`, a closure of plain jnp ops — measured bit-exact
+    between Mosaic and XLA lowering for exp/log/sigmoid/rsqrt on v5e),
+    the SE-mixture Gram, the K-candidate factorization + quadratics
+    (`_CORE`), log-posterior assembly, the first-acceptance scan, and the
+    chain-state update. Records are COMPACTED (accepted rounds write
+    consecutive output rows), so the caller lands them with one
+    dynamic-update-slice per chunk instead of one per round.
+
+    With stash=True each accepted record also emits its prediction factor
+    [L | L^{-1}y | L^{-1}(1)] (free byproducts of `_CORE` — the final
+    downdated matrix's columns are d_j^{1/2} L[:, j]), eliminating the
+    entire posterior factor-cache rebuild (~10 ms / 1000 draws via the
+    lanes kernel) from the predict stage.
+    """
+
+    def _kernel(d2_ref, ry_ref, ro_ref, deltas_ref, logu_ref, z_ref,
+                st_ref, rec_ref, info_ref, *maybe_stash):
+        from jax.experimental import pallas as pl
+
+        stash_ref = maybe_stash[0] if stash else None
+        d2 = d2_ref[...]                       # (ndim, ns2, tile)
+        dtype = d2.dtype
+        tile = d2.shape[-1]
+        ry1 = ry_ref[...]                      # (1, 1, tile)
+        ro1 = ro_ref[...]
+        st = st_ref[...]                       # (1, 1, tile)
+
+        iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, ns2, 1), 1)
+        iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2)
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (1, ns2, 1), 1)
+        iorr = jax.lax.broadcasted_iota(jnp.int32, (rr, 1, 1), 0)
+        iorr1 = jax.lax.broadcasted_iota(jnp.int32, (rr + 1, 1, 1), 0)
+
+        def lane_scalar(v, i):
+            return jnp.sum(jnp.where(lane1 == i, v, 0.0), axis=2,
+                           keepdims=True)      # (1, 1, 1)
+
+        lpv0 = lane_scalar(st, 0)
+        lpb0 = lane_scalar(st, 1)
+        s2sc = lane_scalar(st, 2)
+
+        rec_ref[...] = jnp.zeros((rr, 1, tile), dtype)
+        info_ref[...] = jnp.zeros((rr + 1, 1, tile), dtype)
+        if stash:
+            stash_ref[...] = jnp.zeros((rr, ns2, tile), dtype)
+
+        ryk = jnp.broadcast_to(ry1, (kk, 1, tile))
+        rok = jnp.broadcast_to(ro1, (kk, 1, tile))
+        real = (iirow < n) & (iilane < n)
+        eye = (iirow == iilane).astype(dtype)
+
+        def body(r, carry):
+            z, lpv, lpb, slot = carry
+            delta = deltas_ref[pl.ds(r * kk, kk)]          # (kk, 1, tile)
+            cz = z + delta
+            r1, r2, pv, extra, log_scale = cand_model(cz, iilane, s2sc)
+
+            # computed (K,1,1) scalars must be staged through (K,1,tile)
+            # lane rows: Mosaic can't broadcast sublanes+lanes in one op
+            def b_l(v):
+                return jnp.broadcast_to(v, (kk, 1, tile))
+
+            dist1 = jnp.zeros((kk, ns2, tile), dtype)
+            dist2 = jnp.zeros((kk, ns2, tile), dtype)
+            for k in range(ndim):
+                d2k = d2[k][None]
+                dist1 = dist1 + d2k * b_l(r1[:, :, k:k + 1])
+                dist2 = dist2 + d2k * b_l(r2[:, :, k:k + 1])
+            pvr = b_l(pv)
+            w1 = pvr * pvr
+            w2 = (1.0 - pvr) * (1.0 - pvr)
+            rmix = (w1 * jnp.exp(-dist1) + w2 * jnp.exp(-dist2)) / (w1 + w2)
+            m0 = jnp.where(real, rmix, eye)
+            if jitter:
+                m0 = m0 + jnp.where(real & (iirow == iilane),
+                                    jnp.asarray(jitter, dtype), 0.0)
+
+            ld, qyy, qoy, qoo, mfin, wy, wo = _CORE(m0, ryk, rok, n, kk,
+                                                    dtype)
+            beta = qoy / qoo
+            quad = qyy - qoy * qoy / qoo
+            val = (-0.5 * (n * log2pi + ld + n * log_scale
+                           + quad * jnp.exp(-log_scale)) + extra)
+
+            logu_r = logu_ref[pl.ds(r, 1)]                 # (1, 1, tile)
+
+            out_z, val_n, beta_n = z, lpv, lpb
+            consumed = jnp.full((1, 1, 1), float(kk), dtype)
+            taken = jnp.zeros((1, 1, 1), jnp.bool_)
+            if stash:
+                msel = jnp.zeros((1, ns2, tile), dtype)
+                wysel = jnp.zeros((1, 1, tile), dtype)
+                wosel = jnp.zeros((1, 1, tile), dtype)
+            for k in range(kk):
+                logu_k = lane_scalar(logu_r, k)
+                acck = (val[k:k + 1] - lpv) > logu_k       # (1, 1, 1)
+                take = acck & (~taken)
+                out_z = jnp.where(take, cz[k:k + 1], out_z)
+                val_n = jnp.where(take, val[k:k + 1], val_n)
+                beta_n = jnp.where(take, beta[k:k + 1], beta_n)
+                consumed = jnp.where(take, jnp.full((1, 1, 1),
+                                                    float(k + 1), dtype),
+                                     consumed)
+                if stash:
+                    msel = jnp.where(take, mfin[k:k + 1], msel)
+                    wysel = jnp.where(take, wy[k:k + 1], wysel)
+                    wosel = jnp.where(take, wo[k:k + 1], wosel)
+                taken = taken | acck
+            anyf = taken.astype(dtype)
+
+            rec_row = jnp.where(
+                lane1 < dim, out_z, jnp.where(
+                    lane1 == dim, beta_n, jnp.where(
+                        lane1 == dim + 1, val_n, 0.0)))
+            rmask = (iorr == slot) & taken                  # (rr, 1, 1)
+            rec_ref[...] = jnp.where(rmask, rec_row, rec_ref[...])
+
+            if stash:
+                # diagonal row d_j -> column scaling m[:, j] * d_j^{-1/2}
+                diag = jnp.sum(jnp.where(row1 == lane1[0][None], msel, 0.0),
+                               axis=1, keepdims=True)       # (1, 1, tile)
+                dinvr = jax.lax.rsqrt(diag)
+                lsel = msel * dinvr
+                srow = jnp.where(row1 == n, wysel,
+                                 jnp.where(row1 == n + 1, wosel, lsel))
+                smask = (iorr == slot) & taken
+                stash_ref[...] = jnp.where(smask, srow, stash_ref[...])
+
+            irow = jnp.where(lane1 == 0, anyf,
+                             jnp.where(lane1 == 1, consumed, 0.0))
+            imask = iorr1 == r
+            info_ref[...] = jnp.where(imask, irow, info_ref[...])
+
+            slot = slot + taken.astype(slot.dtype)
+            return out_z, val_n, beta_n, slot
+
+        z0 = z_ref[...]
+        slot0 = jnp.zeros((1, 1, 1), jnp.int32)
+        z, lpv, lpb, _ = jax.lax.fori_loop(0, rr, body,
+                                           (z0, lpv0, lpb0, slot0))
+        fin = jnp.where(lane1 < dim, z,
+                        jnp.where(lane1 == dim, lpb,
+                                  jnp.where(lane1 == dim + 1, lpv, 0.0)))
+        info_ref[...] = jnp.where(iorr1 == rr, fin, info_ref[...])
+
+    return _kernel
+
+
+def fused_mix_mh_rounds(
+    x: jnp.ndarray,            # (n, d) training inputs
+    y: jnp.ndarray,            # (n,)
+    z: jnp.ndarray,            # (dim,) current unconstrained state
+    lp_val, lp_beta,           # scalars
+    sigma2,                    # scalar (plug-in variance)
+    deltas: jnp.ndarray,       # (R*K, dim) proposal offsets eps @ chol^T
+    log_u: jnp.ndarray,        # (R, K) log accept thresholds
+    cand_model,                # lane-space candidate model (likelihood.py)
+    jitter: float = 0.0,
+    stash: bool = False,
+    interpret: bool = False,
+) -> dict:
+    """R speculative Metropolis rounds as ONE kernel launch (see
+    `_make_mh_rounds_kernel`). Returns a dict:
+
+      rec       (R, dim+2) compacted accepted records [z | beta | logpost]
+      acc       (R,) bool    per-round acceptance flags
+      consumed  (R,) int32   proposals consumed per round
+      z_fin (dim,), val_fin, beta_fin: state after all R rounds
+      stash     (R, ns2, 128) [L rows | L^{-1}y at row n | L^{-1}1 at n+1]
+                per accepted record (compacted), when stash=True
+
+    The caller (infer/metropolis.py body_chunk) applies caps, Geweke
+    stopping and truncation OUTSIDE, exactly reproducing the one-round-
+    at-a-time semantics (valid rounds always form a prefix).
+    """
+    import math as _math
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = x.shape
+    rk, dim = deltas.shape
+    rr, kk = log_u.shape
+    assert rk == rr * kk
+    dtype = x.dtype
+    tile = -(-n // TILE) * TILE
+    if tile > TILE:
+        raise ValueError(f"n must be <= {TILE} for the multi-round kernel")
+    if d > TILE:
+        raise ValueError(f"d must be <= {TILE}")
+    ns2 = -(-(n + 2) // 8) * 8 if stash else -(-n // 8) * 8
+
+    diffs = x[:, None, :] - x[None, :, :]
+    d2 = jnp.transpose(diffs * diffs, (2, 0, 1))
+    d2 = jnp.pad(d2, ((0, 0), (0, ns2 - n), (0, tile - n)))
+
+    ypad = jnp.concatenate([y.astype(dtype), jnp.zeros((tile - n,), dtype)])
+    opad = jnp.concatenate([jnp.ones((n,), dtype),
+                            jnp.zeros((tile - n,), dtype)])
+    ry = ypad[None, None, :]
+    ro = opad[None, None, :]
+    drow = jnp.pad(jnp.asarray(deltas, dtype),
+                   ((0, 0), (0, tile - dim)))[:, None, :]   # (R*K, 1, tile)
+    lurow = jnp.pad(jnp.asarray(log_u, dtype),
+                    ((0, 0), (0, tile - kk)))[:, None, :]   # (R, 1, tile)
+    zrow = jnp.pad(jnp.asarray(z, dtype), (0, tile - dim))[None, None, :]
+    strow = jnp.stack([jnp.asarray(lp_val, dtype).reshape(()),
+                       jnp.asarray(lp_beta, dtype).reshape(()),
+                       jnp.asarray(sigma2, dtype).reshape(())])
+    strow = jnp.pad(strow, (0, tile - 3))[None, None, :]
+
+    out_shapes = [jax.ShapeDtypeStruct((rr, 1, tile), dtype),
+                  jax.ShapeDtypeStruct((rr + 1, 1, tile), dtype)]
+    if stash:
+        out_shapes.append(jax.ShapeDtypeStruct((rr, ns2, tile), dtype))
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    out = pl.pallas_call(
+        _make_mh_rounds_kernel(n, d, dim, rr, kk, ns2, float(jitter),
+                               _math.log(2.0 * _math.pi), cand_model,
+                               stash),
+        out_shape=tuple(out_shapes),
+        interpret=interpret,
+        **kwargs,
+    )(d2, ry, ro, drow, lurow, zrow, strow)
+    rec, info = out[0], out[1]
+    res = {
+        "rec": rec[:, 0, :dim + 2],
+        "acc": info[:rr, 0, 0] > 0.5,
+        "consumed": info[:rr, 0, 1].astype(jnp.int32),
+        "z_fin": info[rr, 0, :dim],
+        "beta_fin": info[rr, 0, dim],
+        "val_fin": info[rr, 0, dim + 1],
+    }
+    if stash:
+        res["stash"] = out[2]
+        res["stash_rows"] = ns2
+    return res

@@ -96,3 +96,50 @@ def test_functions_match_r_forms():
     want = ((x - 0.2) ** 2 - (y - 0.7) ** 2) * np.exp(
         -5 * ((x - 0.8) ** 2 + (y - 0.1) ** 2)) * np.cos(10 * (x - 0.5) * y)
     assert np.isclose(float(f2d(jnp.asarray([x, y]), 2)), want)
+
+
+def test_mlegp_archived_table_reproduction():
+    """THE mlegp parity oracle: at mlegp's exact fitted parameters —
+    recovered to machine precision from the archived GV size-50 sample-1
+    results table by least squares (scripts/recover_mlegp_fit.py; final
+    loss 2.8e-20, residual 1e-11) — `kriging_predict(variant='mlegp')`
+    reproduces the archived `y.hat.single` / `LL.single` / `UL.single`
+    columns. This pins the single-GP baseline's FORMULAS (ARD SE
+    correlation, GLS constant mean, sigma^2 MLE, se without the GLS
+    mean-correction term, t(n-1) intervals) against
+    `Ground Vibrations Emulator/Combined GP Ground Vibrations.R:655-666`
+    independently of optimizer trajectory."""
+    import jax.numpy as jnp
+
+    from ccgp_tpu.eval.datasets import load_ground_vibrations
+    from ccgp_tpu.infer.mle import KrigingMLE
+    from ccgp_tpu.models.kriging import kriging_predict
+    from ccgp_tpu.ops import linalg
+    from ccgp_tpu.ops.gp import gls_beta, sigma2_mle
+    from ccgp_tpu.ops.kernels import sqexp_family
+
+    log_betas = jnp.asarray([
+        -2.561435108508144, -1.5216932002999748, -8.073697106923673,
+        0.14044709365967756, -4.549593747305096, -9.977837387620257,
+        -3.3272257457333776, -4.646009837747379, 12.706648321321953])
+    data = load_ground_vibrations(50, 1)
+    x = jnp.asarray(data["x_train"])
+    y = jnp.asarray(data["y_train"])
+    xt = jnp.asarray(data["x_test"])
+    fam = sqexp_family()
+    theta = jnp.exp(log_betas)
+    chol = linalg.jitter_cholesky(fam.gram(x, theta), 0.0)
+    beta = gls_beta(chol, y)
+    sigma2 = sigma2_mle(chol, y, beta)
+    fit = KrigingMLE(beta=beta, sigma2=sigma2, theta=theta,
+                     nll=jnp.asarray(0.0), chol=chol)
+    pred = kriging_predict(fam, x, y, fit, xt, alpha=0.05, variant="mlegp")
+
+    cols, tab = load_gv_archived_results()
+    get = lambda name: tab[:, cols.index(name)]
+    assert float(jnp.max(jnp.abs(pred.mean - get("y.hat.single")))) < 1e-6
+    assert float(jnp.max(jnp.abs(pred.lower - get("LL.single")))) < 1e-6
+    assert float(jnp.max(jnp.abs(pred.upper - get("UL.single")))) < 1e-6
+    # and mlegp's own fitted mean/variance match the profile formulas
+    assert np.isclose(float(beta), 3.9059508390545363, atol=1e-6)
+    assert np.isclose(float(sigma2), 10.249401335560487, rtol=1e-6)

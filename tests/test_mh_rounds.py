@@ -1,0 +1,216 @@
+"""Law-equality and kernel-logic tests for the chunked multi-round
+Metropolis driver (`infer.metropolis` mh_rounds path +
+`ops.pallas_chol_smallk.fused_mix_mh_rounds`).
+
+The chunked driver must reproduce the one-round-at-a-time speculative
+sampler EXACTLY — same random stream, same records, same stopping point —
+including the cap/stop edge cases where a chunk overshoots and truncates.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccgp_tpu.infer.metropolis import metropolis
+from ccgp_tpu.models import MixtureSpec, InverseGamma, LogNormal, make_logpost
+from ccgp_tpu.models.likelihood import (make_logpost_batch, make_mh_round,
+                                        make_mh_rounds)
+from ccgp_tpu.ops import kernels
+
+
+@pytest.fixture(scope="module")
+def problem():
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
+                       dim=2, rough="tied", anisotropic=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(16, 2)))
+    y = jnp.sin(5 * x[:, 0]) + jnp.cos(3 * x[:, 1])
+    t1p, t2p = LogNormal(-1, 1), InverseGamma(3, 4)
+    s2 = jnp.asarray(0.05)
+    kw = dict(theta1_prior=t1p, theta2_prior=t2p, jitter=1e-9)
+    lp = make_logpost(spec, x, y, s2, **kw)
+    lpb = make_logpost_batch(spec, x, y, s2, **kw)
+    rounds = make_mh_rounds(spec, x, y, s2, **kw)
+    return spec, x, y, s2, lp, lpb, rounds, kw
+
+
+def _run_pair(lp, lpb, rounds, key, **kw):
+    start = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    r1 = metropolis(lp, start, key, logpost_batch=lpb, speculative=4, **kw)
+    r2 = metropolis(lp, start, key, mh_rounds=rounds, rounds_per_call=16,
+                    speculative=4, **kw)
+    return r1, r2
+
+
+def _assert_identical(r1, r2):
+    n = int(r1.n_recorded)
+    assert int(r2.n_recorded) == n
+    assert int(r2.n_proposals) == int(r1.n_proposals)
+    assert int(r2.n_accepted) == int(r1.n_accepted)
+    assert np.array_equal(np.asarray(r1.samples[:n]),
+                          np.asarray(r2.samples[:n]))
+    assert np.array_equal(np.asarray(r1.betas[:n]), np.asarray(r2.betas[:n]))
+    assert np.array_equal(np.asarray(r1.logposts[:n]),
+                          np.asarray(r2.logposts[:n]))
+    assert float(r1.pvalue) == float(r2.pvalue)
+    assert bool(r1.converged) == bool(r2.converged)
+
+
+def test_chunked_equals_sequential(problem):
+    _, _, _, _, lp, lpb, rounds, _ = problem
+    r1, r2 = _run_pair(lp, lpb, rounds, jax.random.PRNGKey(11),
+                       n_max=400, samp_size=120, batch_size=20,
+                       alpha_geweke=0.5)
+    _assert_identical(r1, r2)
+
+
+def test_chunked_geweke_stop_truncation(problem):
+    # alpha tiny -> the FIRST Geweke check passes; the chunk that crosses
+    # the boundary must truncate its surplus records to stop exactly there
+    _, _, _, _, lp, lpb, rounds, _ = problem
+    r1, r2 = _run_pair(lp, lpb, rounds, jax.random.PRNGKey(5),
+                       n_max=400, samp_size=100, batch_size=20,
+                       alpha_geweke=1e-9)
+    assert bool(r1.converged)
+    _assert_identical(r1, r2)
+    assert int(r1.n_recorded) % 20 == 0   # stopped exactly at a boundary
+
+
+def test_chunked_proposal_cap(problem):
+    _, _, _, _, lp, lpb, rounds, _ = problem
+    r1, r2 = _run_pair(lp, lpb, rounds, jax.random.PRNGKey(7),
+                       n_max=400, samp_size=100, batch_size=20,
+                       alpha_geweke=0.5, max_proposals=53)
+    _assert_identical(r1, r2)
+    assert int(r1.n_proposals) >= 53      # cap bound mid-chunk
+
+
+def test_chunked_nmax_cap(problem):
+    _, _, _, _, lp, lpb, rounds, _ = problem
+    r1, r2 = _run_pair(lp, lpb, rounds, jax.random.PRNGKey(9),
+                       n_max=37, samp_size=20, batch_size=20,
+                       alpha_geweke=0.9999)
+    _assert_identical(r1, r2)
+    assert int(r1.n_recorded) == 37
+
+
+def test_chunk_rng_matches_per_round_stream():
+    # the chunk generator (scan of splits + batched normal/uniform) must
+    # emit the SAME values as the per-round split/normal/uniform sequence
+    key = jax.random.PRNGKey(3)
+    K, dim, R = 4, 4, 16
+    dt = jnp.float64
+
+    seq_eps, seq_lu = [], []
+    k = key
+    for _ in range(R):
+        k, k1, k2 = jax.random.split(k, 3)
+        seq_eps.append(jax.random.normal(k1, (K, dim), dt))
+        seq_lu.append(jnp.log(jax.random.uniform(k2, (K,), dtype=dt)))
+
+    def rng_step(k, _):
+        k, k1, k2 = jax.random.split(k, 3)
+        return k, (k1, k2)
+
+    k_end, (k1s, k2s) = jax.lax.scan(rng_step, key, None, length=R)
+    eps = jax.vmap(lambda kk: jax.random.normal(kk, (K, dim), dt))(k1s)
+    lu = jax.vmap(lambda kk: jnp.log(
+        jax.random.uniform(kk, (K,), dtype=dt)))(k2s)
+    assert np.array_equal(np.asarray(eps), np.asarray(jnp.stack(seq_eps)))
+    assert np.array_equal(np.asarray(lu), np.asarray(jnp.stack(seq_lu)))
+    assert np.array_equal(np.asarray(k_end), np.asarray(k))
+
+
+def test_rounds_kernel_interpret_matches_fallback(problem):
+    # the Pallas kernel (interpret mode) must agree with the XLA fallback
+    # on records, flags and final state; its stash must contain the real
+    # Cholesky factors of the accepted candidates' mixture Grams
+    spec, x, y, s2, _, _, _, kw = problem
+    from ccgp_tpu.models.combination import mixed_gram, unpack
+    from ccgp_tpu.ops import linalg
+    from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds
+
+    rounds_x = make_mh_rounds(spec, x, y, s2, **kw)   # fallback on CPU
+    # build the kernel path explicitly in interpret mode
+    import ccgp_tpu.models.likelihood as lk
+
+    cand_model = None
+
+    def grab(real_make=lk.make_mh_rounds):
+        pass
+
+    # rebuild the lane cand_model via the builder's internals: call the
+    # builder and pull the closure through the kernel entry instead
+    rng = np.random.default_rng(2)
+    R, K, dim = 6, 4, 4
+    z = jnp.asarray([0.6, 0.4, 0.1, -0.2])
+    deltas = jnp.asarray(0.25 * rng.normal(size=(R * K, dim)))
+    log_u = jnp.asarray(np.log(rng.uniform(size=(R, K))))
+    lpv = jnp.asarray(-40.0)
+    lpb = jnp.asarray(0.0)
+
+    ref = rounds_x(z, lpv, lpb, deltas, log_u)
+
+    # the kernel path: reuse the builder's cand_model by invoking
+    # fused_mix_mh_rounds through a TPU-gated branch is not possible on
+    # CPU, so reach the closure via the builder's code path directly
+    import ccgp_tpu.ops.pallas_chol_smallk as sk
+
+    built = {}
+    orig = sk.fused_mix_mh_rounds
+
+    def spy(*args, **kws):
+        built["args"] = (args, kws)
+        kws = dict(kws)
+        kws["interpret"] = True
+        return orig(*args, **kws)
+
+    sk.fused_mix_mh_rounds = spy
+    try:
+        import jax as _jax
+        orig_backend = _jax.default_backend
+
+        # force the TPU branch inside make_mh_rounds' dispatcher
+        import ccgp_tpu.models.likelihood as _lk
+
+        rounds_k = _lk.make_mh_rounds(spec, x, y, s2, stash=True, **kw)
+        _jax.default_backend = lambda: "tpu"
+        try:
+            out = rounds_k(z, lpv, lpb, deltas, log_u)
+        finally:
+            _jax.default_backend = orig_backend
+    finally:
+        sk.fused_mix_mh_rounds = orig
+
+    assert np.array_equal(np.asarray(ref["acc"]), np.asarray(out["acc"]))
+    assert np.array_equal(np.asarray(ref["consumed"]),
+                          np.asarray(out["consumed"]))
+    n_acc = int(np.sum(np.asarray(ref["acc"])))
+    assert np.allclose(np.asarray(ref["rec"][:n_acc]),
+                       np.asarray(out["rec"][:n_acc]), atol=1e-9)
+    assert np.allclose(np.asarray(ref["z_fin"]), np.asarray(out["z_fin"]),
+                       atol=1e-9)
+
+    # stash: rows must be the Cholesky factors + whitened vectors of the
+    # accepted records' Grams
+    n = x.shape[0]
+    rec = np.asarray(out["rec"][:n_acc])
+    stash = np.asarray(out["stash"][:n_acc])
+    for i in range(n_acc):
+        zs = jnp.asarray(rec[i, :dim])
+        params, _ = unpack(spec, zs)
+        g = mixed_gram(spec, x, params)
+        chol = np.asarray(linalg.jitter_cholesky(g, 1e-9))
+        got = np.tril(stash[i, :n, :n])
+        assert np.allclose(got, chol, atol=1e-6), i
+        wy = np.asarray(
+            jnp.linalg.solve(jnp.asarray(chol), np.asarray(y)))
+        assert np.allclose(stash[i, n, :n],
+                           np.asarray(jax.scipy.linalg.solve_triangular(
+                               jnp.asarray(chol), y, lower=True)), atol=1e-6)
+        assert np.allclose(stash[i, n + 1, :n],
+                           np.asarray(jax.scipy.linalg.solve_triangular(
+                               jnp.asarray(chol), jnp.ones_like(y),
+                               lower=True)), atol=1e-6)
