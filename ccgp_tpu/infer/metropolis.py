@@ -93,7 +93,7 @@ def metropolis(
     logpost_batch: Callable | None = None,
     mh_round: Callable | None = None,
     mh_rounds: Callable | None = None,
-    rounds_per_call: int = 16,
+    rounds_per_call: int = 20,
     stash_rows: int | None = None,
 ) -> MetropolisResult:
     """Run one chain. `logpost(z)` must return an object with `.val` (scalar
@@ -127,6 +127,18 @@ def metropolis(
     speculative round (`models.likelihood.make_mh_round`): on TPU the
     entire decision fuses into one Pallas kernel. Takes precedence over
     logpost_batch; identical random stream and Markov kernel.
+
+    mh_rounds: optional CHUNKED driver (`models.likelihood.make_mh_rounds`)
+    evaluating `rounds_per_call` whole rounds per call — on TPU one
+    sequential-grid Pallas launch per chunk, with per-record prediction
+    factors stashed when `stash_rows` is set (surfaced as
+    `MetropolisResult.factors`). The chunk RNG reproduces the per-round
+    stream exactly (sequential key splits, batched generation) and
+    Geweke stopping / caps are applied with per-round truncation, so the
+    chain is draw-for-draw identical to the one-round bodies
+    (tests/test_mh_rounds.py). Takes precedence over mh_round.
+    `rounds_per_call` is clamped to `batch_size` so a chunk can cross at
+    most one Geweke check boundary.
     """
     if record not in ("accepted", "all"):
         raise ValueError(record)
@@ -263,8 +275,10 @@ def metropolis(
         # chunk's max new records (RR) to fit inside one check interval
         RR = min(RR, batch_size)
 
-        Pc0 = jnp.zeros((n_max + RR, dim + 2), dtype)
-        ST0 = (jnp.zeros((n_max + RR, stash_rows, 128), dtype)
+        # +RR slack rows for chunk overshoot, +1 scratch row that rejected
+        # rounds' scatter writes land in (never read)
+        Pc0 = jnp.zeros((n_max + RR + 1, dim + 2), dtype)
+        ST0 = (jnp.zeros((n_max + RR + 1, stash_rows, 128), dtype)
                if stash_rows else None)
 
         def rng_step(k, _):
@@ -299,13 +313,22 @@ def metropolis(
                         & ((k_rec + prev_acc) < n_max))
             pos = k_rec + cum_acc
 
-            # land the compacted slabs first (the Geweke window reads P);
-            # rows beyond the valid prefix are scratch, overwritten by
-            # the next chunk from the truncated k_rec
-            P = jax.lax.dynamic_update_slice(P, out["rec"], (k_rec, 0))
+            # land accepted rounds' post-state rows at their record
+            # positions first (the Geweke window reads P). Accepted rows
+            # are COMPACTED to the slab front by ONE gather (stable
+            # order), then ONE dynamic-update-slice lands the slab at
+            # k_rec: an XLA row-scatter lowers to a sequential
+            # update-per-row loop on TPU (~2 us x RR rows x the 53 KB
+            # stash rows dominated the chunk overhead). Rejected rows in
+            # the slab tail and any beyond-prefix rows are scratch that
+            # later chunks overwrite from the truncated k_rec.
+            idx_r = jnp.arange(RR)
+            order = jnp.argsort(jnp.where(out["acc"], idx_r, RR + idx_r))
+            P = jax.lax.dynamic_update_slice(
+                P, out["rec"][order], (k_rec, 0))
             if ST is not None:
                 ST = jax.lax.dynamic_update_slice(
-                    ST, out["stash"], (k_rec, 0, 0))
+                    ST, out["stash"][order], (k_rec, 0, 0))
 
             check_round = (runnable & out["acc"] & (pos >= samp_size)
                            & (pos % batch_size == 0))

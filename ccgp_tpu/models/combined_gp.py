@@ -36,11 +36,11 @@ from ccgp_tpu.predict.posterior import (
 
 
 # routes TPU speculative sampling through the chunked multi-round Pallas
-# kernel (16 rounds/launch + free factor stash). Off while the kernel's
-# Mosaic lowering is stabilized; the one-round fused kernel path is used
-# instead. The chunked driver itself is fully tested (tests/test_mh_rounds
-# law-equality + interpret-mode kernel checks).
-MH_ROUNDS_CHUNKING = False
+# kernel (16 rounds per sequential-grid launch + free factor stash); the
+# chunked driver is draw-for-draw identical to the one-round bodies
+# (tests/test_mh_rounds law-equality + interpret-mode kernel checks, and
+# the pinned bench chain reproduces 1060 recorded / 6746 proposals).
+MH_ROUNDS_CHUNKING = True
 
 
 @dataclass(frozen=True)

@@ -386,12 +386,12 @@ def make_mh_rounds(
             slot = slot + any_acc.astype(slot.dtype)
             return (z_n, v_n, b_n, slot), out
 
-        (zf, vf, bf, _), (rows, accs, cons, slots) = jax.lax.scan(
+        (zf, vf, bf, _), (rows, accs, cons, _) = jax.lax.scan(
             step, (z, lp_val, lp_beta, jnp.asarray(0)),
             (deltas.reshape(rr, kk, -1), log_u))
-        idx = jnp.where(accs, slots, rr)       # rejected rows -> scratch row
-        rec = jnp.zeros((rr + 1, dim + 2), dt).at[idx].set(rows)[:rr]
-        return {"rec": rec, "acc": accs, "consumed": cons,
+        # per-round post-state rows, matching the kernel's contract (row r
+        # repeats the previous state when round r rejected)
+        return {"rec": rows, "acc": accs, "consumed": cons,
                 "z_fin": zf, "val_fin": vf, "beta_fin": bf}
 
     return mh_rounds

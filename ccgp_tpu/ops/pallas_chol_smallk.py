@@ -139,6 +139,64 @@ def _chol_quad_core_blocked(m, ry, ro, n: int, kk: int, dtype):
     return ld, qyy, qoy, qoo
 
 
+def _chol_quad_core_slabs(m, ry, ro, n: int, kk: int, dtype):
+    """Triangular-aware slab core: ~2.5x fewer VPU ops than the rank-1
+    core in exact arithmetic — kept as a TESTED-AND-REJECTED exploration.
+
+    Idea: after step j the rows < j are mathematically frozen (their lrow
+    mask is 0, so `m - 0*llane` rewrites them unchanged); holding m as a
+    Python list of (K, 8, tile) sublane slabs lets each fully-unrolled
+    step touch only the pivot-and-trailing slabs, shrinking per-step work
+    from ns rows to ns - 8*floor(j/8).
+
+    MEASURED VERDICT (v5e, round 3): CPU interpret mode is BIT-IDENTICAL
+    to `_chol_quad_core` (n = 7/16/100, tests), but Mosaic MISCOMPILES it
+    on the chip — every candidate log-posterior comes back NaN (zero MH
+    acceptances at n=100; suspect the 8-row sublane-masked pivot reduce
+    over slab values) — and kernel compiles degrade to >20 minutes even
+    at n=32. `_CORE` stays on the rank-1 core until the Mosaic issues are
+    fixed upstream; do not enable without re-verifying the pinned bench
+    chain (1060 recorded / 6746 proposals) on hardware.
+    """
+    ns, tile = m.shape[1], m.shape[-1]
+    nsl = ns // 8
+    slabs = [m[:, 8 * s:8 * (s + 1), :] for s in range(nsl)]
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (kk, 8, 1), 1)
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+
+    ld = jnp.zeros((kk, 1, 1), dtype)
+    wy = jnp.zeros((kk, 1, tile), dtype)
+    wo = jnp.zeros((kk, 1, tile), dtype)
+    for j in range(n):
+        s0, r0 = divmod(j, 8)
+        clane = jnp.sum(jnp.where(i8 == r0, slabs[s0], 0.0), axis=1,
+                        keepdims=True)                      # (K, 1, N)
+        d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                     keepdims=True)                         # (K, 1, 1)
+        dinv = jax.lax.rsqrt(d2)
+        ld = ld + jnp.log(d2)
+        llane = jnp.where(iilane > j, clane, 0.0) * dinv    # (K, 1, N)
+        for s in range(s0, nsl):
+            crow = jnp.sum(jnp.where(iilane == j, slabs[s], 0.0), axis=2,
+                           keepdims=True)                   # (K, 8, 1)
+            rows = i8 + 8 * s
+            lrow = jnp.where(rows > j, crow, 0.0) * dinv
+            slabs[s] = slabs[s] - lrow * llane
+        rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                      keepdims=True) * dinv
+        rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                      keepdims=True) * dinv
+        wy = jnp.where(iilane == j, rjy, wy)
+        wo = jnp.where(iilane == j, rjo, wo)
+        ry = ry - llane * rjy
+        ro = ro - llane * rjo
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+    m_fin = jnp.concatenate(slabs, axis=1)
+    return ld, qyy, qoy, qoo, m_fin, wy, wo
+
+
 def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
     """Shared factorization + fused substitution core.
 
@@ -202,8 +260,11 @@ def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
     return ld, qyy, qoy, qoo, m, wy, wo
 
 
-# active core for both kernels (see the two cores' docstrings for the
-# measured formulation notes)
+# active core for all kernels (see the cores' docstrings for the measured
+# formulation notes). The slab core stays OFF: despite CPU-interpret
+# bit-identity it MISCOMPILES on v5e Mosaic (silently: every candidate's
+# log-posterior NaNs -> zero acceptances at n=100) and drives remote
+# kernel compiles into a >20-minute pathological path even at n=32.
 _CORE = _chol_quad_core
 
 
@@ -537,158 +598,153 @@ def fused_mix_mh_round(
 # Multi-round fused Metropolis: R speculative rounds per kernel launch
 # ---------------------------------------------------------------------------
 
-def _make_mh_rounds_kernel(n: int, ndim: int, dim: int, rr: int, kk: int,
+def _make_mh_rounds_kernel(n: int, ndim: int, dim: int, kk: int,
                            ns2: int, jitter: float, log2pi: float,
                            cand_model, stash: bool):
-    """R whole speculative rounds in ONE kernel.
+    """One grid step = one whole speculative round; grid=(R,) runs the R
+    rounds SEQUENTIALLY on the core with the chain state carried in a
+    VMEM scratch row (the idiomatic Mosaic cross-step carry — a rolled
+    in-kernel fori over rounds sent the Mosaic compiler into a
+    pathological >20-minute path even at toy sizes).
 
-    Per round, IN-KERNEL: candidate formation (z + precomputed proposal
-    deltas), the unconstrained->constrained transform + prior/Jacobian
-    terms (`cand_model`, a closure of plain jnp ops — measured bit-exact
-    between Mosaic and XLA lowering for exp/log/sigmoid/rsqrt on v5e),
-    the SE-mixture Gram, the K-candidate factorization + quadratics
-    (`_CORE`), log-posterior assembly, the first-acceptance scan, and the
-    chain-state update. Records are COMPACTED (accepted rounds write
-    consecutive output rows), so the caller lands them with one
-    dynamic-update-slice per chunk instead of one per round.
+    Per round, IN-KERNEL: candidate formation (state + precomputed
+    proposal deltas), the unconstrained->constrained transform +
+    prior/Jacobian terms (`cand_model`, a closure of plain jnp ops —
+    measured bit-exact between Mosaic and XLA lowering for
+    exp/log/sigmoid/rsqrt on v5e), the SE-mixture Gram, the K-candidate
+    factorization + quadratics (`_CORE`), log-posterior assembly, the MH
+    first-acceptance scan, and the state update. Outputs are PER-ROUND
+    post-state rows (so row R-1 is the carry-out state) plus acc/consumed
+    flags; the caller scatters accepted rows into its record buffer.
 
-    With stash=True each accepted record also emits its prediction factor
-    [L | L^{-1}y | L^{-1}(1)] (free byproducts of `_CORE` — the final
-    downdated matrix's columns are d_j^{1/2} L[:, j]), eliminating the
-    entire posterior factor-cache rebuild (~10 ms / 1000 draws via the
-    lanes kernel) from the predict stage.
+    With stash=True each round also emits its accepted candidate's
+    prediction factor [L | L^{-1}y at row n | L^{-1}1 at row n+1] — free
+    byproducts of `_CORE` (the final downdated matrix's columns are
+    d_j^{1/2} L[:, j]) — eliminating the posterior factor-cache rebuild
+    (~10 ms / 1000 draws via the lanes kernel) from the predict stage.
     """
+    from jax.experimental import pallas as pl
 
-    def _kernel(d2_ref, ry_ref, ro_ref, deltas_ref, logu_ref, z_ref,
-                st_ref, rec_ref, info_ref, *maybe_stash):
-        from jax.experimental import pallas as pl
-
-        stash_ref = maybe_stash[0] if stash else None
+    def _kernel(d2_ref, ry_ref, ro_ref, delta_ref, logu_ref, z_ref,
+                st_ref, rec_ref, info_ref, *rest):
+        if stash:
+            stash_ref, state_ref = rest
+        else:
+            (state_ref,) = rest
+        r = pl.program_id(0)
         d2 = d2_ref[...]                       # (ndim, ns2, tile)
         dtype = d2.dtype
         tile = d2.shape[-1]
-        ry1 = ry_ref[...]                      # (1, 1, tile)
-        ro1 = ro_ref[...]
-        st = st_ref[...]                       # (1, 1, tile)
 
         iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, ns2, 1), 1)
         iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
         lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2)
         row1 = jax.lax.broadcasted_iota(jnp.int32, (1, ns2, 1), 1)
-        iorr = jax.lax.broadcasted_iota(jnp.int32, (rr, 1, 1), 0)
-        iorr1 = jax.lax.broadcasted_iota(jnp.int32, (rr + 1, 1, 1), 0)
 
         def lane_scalar(v, i):
             return jnp.sum(jnp.where(lane1 == i, v, 0.0), axis=2,
                            keepdims=True)      # (1, 1, 1)
 
-        lpv0 = lane_scalar(st, 0)
-        lpb0 = lane_scalar(st, 1)
-        s2sc = lane_scalar(st, 2)
+        @pl.when(r == 0)
+        def _init():
+            st = st_ref[...]                   # lane0 lp_val, lane1 lp_beta
+            z0 = z_ref[...]                    # z in lanes < dim
+            state_ref[...] = jnp.where(
+                lane1 < dim, z0, jnp.where(
+                    lane1 == dim, lane_scalar(st, 1), jnp.where(
+                        lane1 == dim + 1, lane_scalar(st, 0), 0.0)))
 
-        rec_ref[...] = jnp.zeros((rr, 1, tile), dtype)
-        info_ref[...] = jnp.zeros((rr + 1, 1, tile), dtype)
-        if stash:
-            stash_ref[...] = jnp.zeros((rr, ns2, tile), dtype)
+        state = state_ref[...]
+        z = jnp.where(lane1 < dim, state, 0.0)
+        lpb = lane_scalar(state, dim)
+        lpv = lane_scalar(state, dim + 1)
+        s2sc = lane_scalar(st_ref[...], 2)
 
-        ryk = jnp.broadcast_to(ry1, (kk, 1, tile))
-        rok = jnp.broadcast_to(ro1, (kk, 1, tile))
+        delta = delta_ref[...]                 # (kk, 1, tile) this round
+        cz = z + delta
+        r1, r2, pv, extra, log_scale = cand_model(cz, iilane, s2sc)
+
+        def b_l(v):
+            return jnp.broadcast_to(v, (kk, 1, tile))
+
+        def lane_k(v, i):
+            # extract lane i of a COMPUTED row via a masked reduce: lane
+            # slices of computed (non-loaded) values acquire offset
+            # layouts whose 2-D broadcast Mosaic rejects ("Broadcast in
+            # both sublanes and lanes"); reduce-produced scalars lower
+            # replicated and broadcast fine (measured)
+            return jnp.sum(jnp.where(iilane == i, v, 0.0), axis=2,
+                           keepdims=True)
+
+        dist1 = jnp.zeros((kk, ns2, tile), dtype)
+        dist2 = jnp.zeros((kk, ns2, tile), dtype)
+        for k in range(ndim):
+            d2k = d2[k][None]
+            dist1 = dist1 + d2k * b_l(lane_k(r1, k))
+            dist2 = dist2 + d2k * b_l(lane_k(r2, k))
+        pvr = b_l(pv)
+        w1 = pvr * pvr
+        w2 = (1.0 - pvr) * (1.0 - pvr)
+        rmix = (w1 * jnp.exp(-dist1) + w2 * jnp.exp(-dist2)) / (w1 + w2)
         real = (iirow < n) & (iilane < n)
         eye = (iirow == iilane).astype(dtype)
+        m0 = jnp.where(real, rmix, eye)
+        if jitter:
+            m0 = m0 + jnp.where(real & (iirow == iilane),
+                                jnp.asarray(jitter, dtype), 0.0)
 
-        def body(r, carry):
-            z, lpv, lpb, slot = carry
-            delta = deltas_ref[pl.ds(r * kk, kk)]          # (kk, 1, tile)
-            cz = z + delta
-            r1, r2, pv, extra, log_scale = cand_model(cz, iilane, s2sc)
+        ryk = jnp.broadcast_to(ry_ref[...], (kk, 1, tile))
+        rok = jnp.broadcast_to(ro_ref[...], (kk, 1, tile))
+        ld, qyy, qoy, qoo, mfin, wy, wo = _CORE(m0, ryk, rok, n, kk, dtype)
+        beta = qoy / qoo
+        quad = qyy - qoy * qoy / qoo
+        val = (-0.5 * (n * log2pi + ld + n * log_scale
+                       + quad * jnp.exp(-log_scale)) + extra)
 
-            # computed (K,1,1) scalars must be staged through (K,1,tile)
-            # lane rows: Mosaic can't broadcast sublanes+lanes in one op
-            def b_l(v):
-                return jnp.broadcast_to(v, (kk, 1, tile))
+        logu_r = logu_ref[...]                 # (1, 1, tile), lanes < kk
 
-            dist1 = jnp.zeros((kk, ns2, tile), dtype)
-            dist2 = jnp.zeros((kk, ns2, tile), dtype)
-            for k in range(ndim):
-                d2k = d2[k][None]
-                dist1 = dist1 + d2k * b_l(r1[:, :, k:k + 1])
-                dist2 = dist2 + d2k * b_l(r2[:, :, k:k + 1])
-            pvr = b_l(pv)
-            w1 = pvr * pvr
-            w2 = (1.0 - pvr) * (1.0 - pvr)
-            rmix = (w1 * jnp.exp(-dist1) + w2 * jnp.exp(-dist2)) / (w1 + w2)
-            m0 = jnp.where(real, rmix, eye)
-            if jitter:
-                m0 = m0 + jnp.where(real & (iirow == iilane),
-                                    jnp.asarray(jitter, dtype), 0.0)
-
-            ld, qyy, qoy, qoo, mfin, wy, wo = _CORE(m0, ryk, rok, n, kk,
-                                                    dtype)
-            beta = qoy / qoo
-            quad = qyy - qoy * qoy / qoo
-            val = (-0.5 * (n * log2pi + ld + n * log_scale
-                           + quad * jnp.exp(-log_scale)) + extra)
-
-            logu_r = logu_ref[pl.ds(r, 1)]                 # (1, 1, tile)
-
-            out_z, val_n, beta_n = z, lpv, lpb
-            consumed = jnp.full((1, 1, 1), float(kk), dtype)
-            taken = jnp.zeros((1, 1, 1), jnp.bool_)
+        out_z, val_n, beta_n = z, lpv, lpb
+        consumed = jnp.full((1, 1, 1), float(kk), dtype)
+        taken = jnp.zeros((1, 1, 1), jnp.bool_)
+        if stash:
+            msel = jnp.zeros((1, ns2, tile), dtype)
+            wysel = jnp.zeros((1, 1, tile), dtype)
+            wosel = jnp.zeros((1, 1, tile), dtype)
+        for k in range(kk):
+            logu_k = lane_scalar(logu_r, k)
+            acck = (val[k:k + 1] - lpv) > logu_k
+            take = acck & (~taken)
+            out_z = jnp.where(take, cz[k:k + 1], out_z)
+            val_n = jnp.where(take, val[k:k + 1], val_n)
+            beta_n = jnp.where(take, beta[k:k + 1], beta_n)
+            consumed = jnp.where(take, jnp.full((1, 1, 1), float(k + 1),
+                                                dtype), consumed)
             if stash:
-                msel = jnp.zeros((1, ns2, tile), dtype)
-                wysel = jnp.zeros((1, 1, tile), dtype)
-                wosel = jnp.zeros((1, 1, tile), dtype)
-            for k in range(kk):
-                logu_k = lane_scalar(logu_r, k)
-                acck = (val[k:k + 1] - lpv) > logu_k       # (1, 1, 1)
-                take = acck & (~taken)
-                out_z = jnp.where(take, cz[k:k + 1], out_z)
-                val_n = jnp.where(take, val[k:k + 1], val_n)
-                beta_n = jnp.where(take, beta[k:k + 1], beta_n)
-                consumed = jnp.where(take, jnp.full((1, 1, 1),
-                                                    float(k + 1), dtype),
-                                     consumed)
-                if stash:
-                    msel = jnp.where(take, mfin[k:k + 1], msel)
-                    wysel = jnp.where(take, wy[k:k + 1], wysel)
-                    wosel = jnp.where(take, wo[k:k + 1], wosel)
-                taken = taken | acck
-            anyf = taken.astype(dtype)
+                msel = jnp.where(take, mfin[k:k + 1], msel)
+                wysel = jnp.where(take, wy[k:k + 1], wysel)
+                wosel = jnp.where(take, wo[k:k + 1], wosel)
+            taken = taken | acck
+        anyf = taken.astype(dtype)
 
-            rec_row = jnp.where(
-                lane1 < dim, out_z, jnp.where(
-                    lane1 == dim, beta_n, jnp.where(
-                        lane1 == dim + 1, val_n, 0.0)))
-            rmask = (iorr == slot) & taken                  # (rr, 1, 1)
-            rec_ref[...] = jnp.where(rmask, rec_row, rec_ref[...])
+        new_state = jnp.where(
+            lane1 < dim, out_z, jnp.where(
+                lane1 == dim, beta_n, jnp.where(
+                    lane1 == dim + 1, val_n, 0.0)))
+        state_ref[...] = new_state
+        rec_ref[...] = new_state
+        info_ref[...] = jnp.where(
+            lane1 == 0, anyf,
+            jnp.where(lane1 == 1, consumed, 0.0))
 
-            if stash:
-                # diagonal row d_j -> column scaling m[:, j] * d_j^{-1/2}
-                diag = jnp.sum(jnp.where(row1 == lane1[0][None], msel, 0.0),
-                               axis=1, keepdims=True)       # (1, 1, tile)
-                dinvr = jax.lax.rsqrt(diag)
-                lsel = msel * dinvr
-                srow = jnp.where(row1 == n, wysel,
-                                 jnp.where(row1 == n + 1, wosel, lsel))
-                smask = (iorr == slot) & taken
-                stash_ref[...] = jnp.where(smask, srow, stash_ref[...])
-
-            irow = jnp.where(lane1 == 0, anyf,
-                             jnp.where(lane1 == 1, consumed, 0.0))
-            imask = iorr1 == r
-            info_ref[...] = jnp.where(imask, irow, info_ref[...])
-
-            slot = slot + taken.astype(slot.dtype)
-            return out_z, val_n, beta_n, slot
-
-        z0 = z_ref[...]
-        slot0 = jnp.zeros((1, 1, 1), jnp.int32)
-        z, lpv, lpb, _ = jax.lax.fori_loop(0, rr, body,
-                                           (z0, lpv0, lpb0, slot0))
-        fin = jnp.where(lane1 < dim, z,
-                        jnp.where(lane1 == dim, lpb,
-                                  jnp.where(lane1 == dim + 1, lpv, 0.0)))
-        info_ref[...] = jnp.where(iorr1 == rr, fin, info_ref[...])
+        if stash:
+            # diagonal row d_j -> column scaling m[:, j] * d_j^{-1/2}
+            diag = jnp.sum(jnp.where(row1 == lane1[0][None], msel, 0.0),
+                           axis=1, keepdims=True)       # (1, 1, tile)
+            dinvr = jax.lax.rsqrt(diag)
+            lsel = msel * dinvr
+            stash_ref[...] = jnp.where(
+                row1 == n, wysel,
+                jnp.where(row1 == n + 1, wosel, lsel))
 
     return _kernel
 
@@ -706,19 +762,23 @@ def fused_mix_mh_rounds(
     stash: bool = False,
     interpret: bool = False,
 ) -> dict:
-    """R speculative Metropolis rounds as ONE kernel launch (see
-    `_make_mh_rounds_kernel`). Returns a dict:
+    """R speculative Metropolis rounds as ONE kernel launch over a
+    sequential grid=(R,) (see `_make_mh_rounds_kernel`). Returns a dict:
 
-      rec       (R, dim+2) compacted accepted records [z | beta | logpost]
+      rec       (R, dim+2) PER-ROUND post-state rows [z | beta | logpost]
+                (row r repeats the previous state when round r rejected;
+                row R-1 is the carry-out state)
       acc       (R,) bool    per-round acceptance flags
       consumed  (R,) int32   proposals consumed per round
       z_fin (dim,), val_fin, beta_fin: state after all R rounds
-      stash     (R, ns2, 128) [L rows | L^{-1}y at row n | L^{-1}1 at n+1]
-                per accepted record (compacted), when stash=True
+      stash     (R, ns2, 128) [L rows | L^{-1}y at row n | L^{-1}1 at
+                row n+1] of each round's accepted candidate (zeros when
+                rejected), when stash=True
 
-    The caller (infer/metropolis.py body_chunk) applies caps, Geweke
-    stopping and truncation OUTSIDE, exactly reproducing the one-round-
-    at-a-time semantics (valid rounds always form a prefix).
+    The caller (infer/metropolis.py body_chunk) scatters accepted rows
+    into its record buffer and applies caps / Geweke stopping / truncation
+    OUTSIDE, exactly reproducing one-round-at-a-time semantics (valid
+    rounds always form a prefix).
     """
     import math as _math
 
@@ -756,31 +816,48 @@ def fused_mix_mh_rounds(
                        jnp.asarray(sigma2, dtype).reshape(())])
     strow = jnp.pad(strow, (0, tile - 3))[None, None, :]
 
+    const = lambda *_: (0, 0, 0)
+    in_specs = [
+        pl.BlockSpec((d, ns2, tile), const),
+        pl.BlockSpec((1, 1, tile), const),
+        pl.BlockSpec((1, 1, tile), const),
+        pl.BlockSpec((kk, 1, tile), lambda r: (r, 0, 0)),
+        pl.BlockSpec((1, 1, tile), lambda r: (r, 0, 0)),
+        pl.BlockSpec((1, 1, tile), const),
+        pl.BlockSpec((1, 1, tile), const),
+    ]
     out_shapes = [jax.ShapeDtypeStruct((rr, 1, tile), dtype),
-                  jax.ShapeDtypeStruct((rr + 1, 1, tile), dtype)]
+                  jax.ShapeDtypeStruct((rr, 1, tile), dtype)]
+    out_specs = [pl.BlockSpec((1, 1, tile), lambda r: (r, 0, 0)),
+                 pl.BlockSpec((1, 1, tile), lambda r: (r, 0, 0))]
     if stash:
         out_shapes.append(jax.ShapeDtypeStruct((rr, ns2, tile), dtype))
+        out_specs.append(pl.BlockSpec((1, ns2, tile), lambda r: (r, 0, 0)))
 
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
     out = pl.pallas_call(
-        _make_mh_rounds_kernel(n, d, dim, rr, kk, ns2, float(jitter),
+        _make_mh_rounds_kernel(n, d, dim, kk, ns2, float(jitter),
                                _math.log(2.0 * _math.pi), cand_model,
                                stash),
+        grid=(rr,),
+        in_specs=in_specs,
         out_shape=tuple(out_shapes),
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((1, 1, tile), dtype)],
         interpret=interpret,
         **kwargs,
     )(d2, ry, ro, drow, lurow, zrow, strow)
     rec, info = out[0], out[1]
     res = {
         "rec": rec[:, 0, :dim + 2],
-        "acc": info[:rr, 0, 0] > 0.5,
-        "consumed": info[:rr, 0, 1].astype(jnp.int32),
-        "z_fin": info[rr, 0, :dim],
-        "beta_fin": info[rr, 0, dim],
-        "val_fin": info[rr, 0, dim + 1],
+        "acc": info[:, 0, 0] > 0.5,
+        "consumed": info[:, 0, 1].astype(jnp.int32),
+        "z_fin": rec[rr - 1, 0, :dim],
+        "beta_fin": rec[rr - 1, 0, dim],
+        "val_fin": rec[rr - 1, 0, dim + 1],
     }
     if stash:
         res["stash"] = out[2]

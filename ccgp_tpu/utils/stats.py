@@ -4,6 +4,7 @@ batch-means standard errors.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ccgp_tpu.ops import linalg
@@ -57,28 +58,65 @@ def masked_quantile(x: jnp.ndarray, valid: jnp.ndarray, q) -> jnp.ndarray:
 
 def masked_quantile_pair(x: jnp.ndarray, valid: jnp.ndarray,
                          q_lo, q_hi) -> tuple:
-    """Both type-7 quantiles from ONE sort (the MC-interval hot path sorts
-    (t, m) draw matrices; two separate masked_quantile calls cost two full
-    XLA sorts — measured ~5.5 ms of the 100-pt full-Bayes fit's predict
-    stage at m=1000, t=625). Result identical to two masked_quantile calls.
+    """Both type-7 quantiles of a TAIL pair (e.g. 0.025/0.975) without a
+    full sort — the MC-interval hot path's aggregation over (t, m) draw
+    matrices (two masked_quantile calls = two full XLA sorts, measured
+    ~5.5 ms of the 100-pt full-Bayes fit at m=1000, t=625).
+
+    EXACT for every valid-count m_t: the type-7 interpolation at q reads
+    order statistics floor((m_t-1)q) and +1; measured from the nearer
+    extreme those indices are bounded by ceil((m-1)*q_tail) + 1 for ANY
+    m_t <= m, so a static-k `lax.top_k` per tail suffices. Falls back to
+    the single-sort path when the tails are not small. Values identical
+    to two masked_quantile calls (verified element-equal in tests).
     """
     n = x.shape[-1]
     big = jnp.asarray(jnp.finfo(x.dtype).max, x.dtype)
-    xs = jnp.sort(jnp.where(valid, x, big), axis=-1)
     m = jnp.sum(valid, axis=-1)
+    import math as _math
 
-    def interp(q):
+    k_lo = int(_math.ceil((n - 1) * float(q_lo))) + 2
+    k_hi = int(_math.ceil((n - 1) * (1.0 - float(q_hi)))) + 2
+
+    if k_lo + k_hi >= n // 2:
+        xs = jnp.sort(jnp.where(valid, x, big), axis=-1)
+
+        def interp(q):
+            q = jnp.asarray(q, x.dtype)
+            h = (m.astype(x.dtype) - 1.0) * q
+            lo = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, n - 1)
+            hi = jnp.clip(lo + 1, 0, n - 1)
+            hi = jnp.minimum(hi, jnp.maximum(m - 1, 0))
+            frac = h - lo.astype(x.dtype)
+            xlo = jnp.take_along_axis(xs, lo[..., None], -1)
+            xhi = jnp.take_along_axis(xs, hi[..., None], -1)
+            return (xlo + frac[..., None] * (xhi - xlo)).squeeze(-1)
+
+        return interp(q_lo), interp(q_hi)
+
+    # two static-k partial selections instead of one O(n log^2 n) sort
+    # (invalid -> -big so they select LAST, matching big-padded sorting)
+    bot = -jax.lax.top_k(jnp.where(valid, -x, -big), k_lo)[0]  # ascending
+    top = jax.lax.top_k(jnp.where(valid, x, -big), k_hi)[0]    # descending
+
+    def interp_tail(q, tail):
         q = jnp.asarray(q, x.dtype)
         h = (m.astype(x.dtype) - 1.0) * q
         lo = jnp.clip(jnp.floor(h).astype(jnp.int32), 0, n - 1)
-        hi = jnp.clip(lo + 1, 0, n - 1)
-        hi = jnp.minimum(hi, jnp.maximum(m - 1, 0))
+        hi = jnp.minimum(jnp.clip(lo + 1, 0, n - 1),
+                         jnp.maximum(m - 1, 0))
         frac = h - lo.astype(x.dtype)
-        xlo = jnp.take_along_axis(xs, lo[..., None], -1)
-        xhi = jnp.take_along_axis(xs, hi[..., None], -1)
+        if tail == "lo":
+            xlo = jnp.take_along_axis(bot, jnp.clip(lo, 0, k_lo - 1)[..., None], -1)
+            xhi = jnp.take_along_axis(bot, jnp.clip(hi, 0, k_lo - 1)[..., None], -1)
+        else:
+            ilo = jnp.clip(m - 1 - lo, 0, k_hi - 1)
+            ihi = jnp.clip(m - 1 - hi, 0, k_hi - 1)
+            xlo = jnp.take_along_axis(top, ilo[..., None], -1)
+            xhi = jnp.take_along_axis(top, ihi[..., None], -1)
         return (xlo + frac[..., None] * (xhi - xlo)).squeeze(-1)
 
-    return interp(q_lo), interp(q_hi)
+    return interp_tail(q_lo, "lo"), interp_tail(q_hi, "hi")
 
 
 def masked_mean(x: jnp.ndarray, valid: jnp.ndarray, axis=-1) -> jnp.ndarray:

@@ -148,8 +148,8 @@ def test_rounds_kernel_interpret_matches_fallback(problem):
     z = jnp.asarray([0.6, 0.4, 0.1, -0.2])
     deltas = jnp.asarray(0.25 * rng.normal(size=(R * K, dim)))
     log_u = jnp.asarray(np.log(rng.uniform(size=(R, K))))
-    lpv = jnp.asarray(-40.0)
-    lpb = jnp.asarray(0.0)
+    lpv = jnp.asarray(-1e6)     # force an early acceptance so the stash
+    lpb = jnp.asarray(0.0)      # checks below exercise real factors
 
     ref = rounds_x(z, lpv, lpb, deltas, log_u)
 
@@ -187,17 +187,19 @@ def test_rounds_kernel_interpret_matches_fallback(problem):
     assert np.array_equal(np.asarray(ref["acc"]), np.asarray(out["acc"]))
     assert np.array_equal(np.asarray(ref["consumed"]),
                           np.asarray(out["consumed"]))
-    n_acc = int(np.sum(np.asarray(ref["acc"])))
-    assert np.allclose(np.asarray(ref["rec"][:n_acc]),
-                       np.asarray(out["rec"][:n_acc]), atol=1e-9)
+    assert np.allclose(np.asarray(ref["rec"]), np.asarray(out["rec"]),
+                       atol=1e-9)
     assert np.allclose(np.asarray(ref["z_fin"]), np.asarray(out["z_fin"]),
                        atol=1e-9)
 
-    # stash: rows must be the Cholesky factors + whitened vectors of the
-    # accepted records' Grams
+    # stash: accepted rounds' rows must be the Cholesky factors + whitened
+    # vectors of that round's accepted state's Gram
     n = x.shape[0]
-    rec = np.asarray(out["rec"][:n_acc])
-    stash = np.asarray(out["stash"][:n_acc])
+    acc = np.asarray(out["acc"])
+    rec = np.asarray(out["rec"])[acc]
+    stash = np.asarray(out["stash"])[acc]
+    n_acc = int(acc.sum())
+    assert n_acc >= 1
     for i in range(n_acc):
         zs = jnp.asarray(rec[i, :dim])
         params, _ = unpack(spec, zs)

@@ -64,3 +64,26 @@ def test_mvn_logpdf_chol_scale(rng):
     want = scipy.stats.multivariate_normal(
         mean=np.zeros(n), cov=np.exp(ls) * cov).logpdf(y)
     assert np.isclose(got, want, rtol=1e-10)
+
+
+def test_masked_quantile_pair_topk_equals_sort():
+    """The dual-top_k tail path must be element-equal to two full-sort
+    masked_quantile calls for uneven per-row valid counts."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccgp_tpu.utils import stats
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(37, 400)))
+    valid = jnp.asarray(rng.uniform(size=(37, 400)) > 0.15)
+    # guarantee at least one valid entry per row
+    valid = valid.at[:, 0].set(True)
+    for q_lo, q_hi in [(0.025, 0.975), (0.005, 0.995), (0.25, 0.75)]:
+        lo2, hi2 = stats.masked_quantile_pair(x, valid, q_lo, q_hi)
+        lo1 = jax.vmap(lambda c, v: stats.masked_quantile(c, v, q_lo))(
+            x, valid)
+        hi1 = jax.vmap(lambda c, v: stats.masked_quantile(c, v, q_hi))(
+            x, valid)
+        assert np.array_equal(np.asarray(lo1), np.asarray(lo2)), (q_lo, q_hi)
+        assert np.array_equal(np.asarray(hi1), np.asarray(hi2)), (q_lo, q_hi)
