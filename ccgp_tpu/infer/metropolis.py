@@ -295,7 +295,12 @@ def metropolis(
             # chunk RNG: the EXACT per-round stream (sequential key
             # splits via scan, then batched generation per round key —
             # values identical to the one-round bodies')
-            key, (k1s, k2s) = jax.lax.scan(rng_step, key, None, length=RR)
+            # unroll: the 20-step sequential key-split scan costs ~60 us
+            # per chunk as a rolled while loop (profiler: while.232 +
+            # 2160 threefry fusions ~ 6-8 ms of the 50 ms fit); straight-
+            # line threefry chains fuse to ~1/4 of that
+            key, (k1s, k2s) = jax.lax.scan(rng_step, key, None, length=RR,
+                                           unroll=True)
             eps = jax.vmap(
                 lambda k1: jax.random.normal(k1, (K, dim), dtype))(k1s)
             log_u = jax.vmap(lambda k2: jnp.log(
