@@ -120,22 +120,35 @@ def main():
                                   maxiter=120)
         return res.x.reshape(n_new, d)
 
-    subs = jax.jit(jax.vmap(search_one))(params.p, params.theta1,
-                                         params.theta2, chols, starts)
-    subs = jax.block_until_ready(subs)
+    # chunk the draw axis: the full 1000 x 25-restart program as one vmap
+    # faulted the device; 50-draw chunks (1250 lockstep BFGS chains per
+    # dispatch) compile once and stream through
+    search_c = jax.jit(jax.vmap(search_one))
+    chunk = 50
+    outs = []
+    for c0 in range(0, m, chunk):
+        sl = slice(c0, min(c0 + chunk, m))
+        outs.append(jax.block_until_ready(search_c(
+            params.p[sl], params.theta1[sl], params.theta2[sl],
+            chols[sl], starts[sl])))
+        if c0 % 200 == 0:
+            print(f"[{time.time()-t0:6.1f}s] subdesigns {c0 + chunk}/{m}",
+                  flush=True)
+    subs = jnp.concatenate(outs)
     print(f"[{time.time()-t0:6.1f}s] {m} x {n_starts}-restart subdesigns "
           f"done", flush=True)
 
     cloud = np.asarray(subs, np.float64).reshape(-1, 2)
+    np.save(ROOT / "results" / "regenerated_subdesigns.npy", cloud)
     km = kmedoids(jnp.asarray(cloud), n_new, jax.random.PRNGKey(3),
                   n_restarts=16)
     med = np.asarray(km.medoids, np.float64)
     print(f"[{time.time()-t0:6.1f}s] k-medoids done", flush=True)
 
-    shipped_design = load_design_txt("k-medoids ME Design.txt", header=True)
+    shipped_design = load_design_txt("k-medoids ME Design", header=True)
     shipped_med = np.asarray(shipped_design[-n_new:], np.float64)
     shipped_cloud = np.asarray(
-        load_design_txt("All_Subdesigns.txt", header=True), np.float64)
+        load_design_txt("All_Subdesigns", header=True), np.float64)
 
     def match_dist(a, b):
         d2 = np.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
