@@ -30,7 +30,10 @@ def me_criterion(spec: MixtureSpec, d: jnp.ndarray, params: MixParams,
     """Score to MINIMIZE for a first-batch ME design (lower = better)."""
     r = mixed_gram(spec, d, params)
     if criterion == "det":
-        return -jnp.linalg.det(r)
+        det = -jnp.linalg.det(r)
+        # same non-finite guard as the logdet branch: a singular/NaN Gram
+        # must score +inf (worst), not propagate NaN into the optimizer
+        return jnp.where(jnp.isfinite(det), det, jnp.inf)
     ld = linalg.logdet_psd(r, jitter)
     return -jnp.where(jnp.isfinite(ld), ld, -jnp.inf)
 
@@ -52,6 +55,7 @@ def augmented_me_criterion(
     r_cross = mixed_cross(spec, d_old, d_new, params, predict=False).T  # (m, n_old)
     s = linalg.schur_complement(r_new, r_cross, chol_old)
     if criterion == "det":
-        return -jnp.linalg.det(s)
+        det = -jnp.linalg.det(s)
+        return jnp.where(jnp.isfinite(det), det, jnp.inf)
     ld = linalg.logdet_psd(s, jitter)
     return -jnp.where(jnp.isfinite(ld), ld, -jnp.inf)
