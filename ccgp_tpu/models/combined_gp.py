@@ -109,21 +109,24 @@ def fit_combined_gp(
               and spec.kernel2.raw_kind == "sqdist")
     if mcmc.speculative and mcmc.speculative > 1:
         if (MH_ROUNDS_CHUNKING and se_mix
-                and jax.default_backend() == "tpu" and n_train <= 128
+                and jax.default_backend() == "tpu" and n_train <= 512
                 and mcmc.record == "accepted"):
-            # CHUNKED multi-round driver: 16 speculative rounds per Pallas
-            # launch with the candidate transform/priors in-kernel, and the
-            # per-record prediction factors [L | L^{-1}y | L^{-1}1] stashed
-            # as free factorization byproducts — the posterior factor cache
-            # comes out of the sampler, eliminating the lanes-kernel rebuild
-            # (~10 ms / 1000 retained draws). Chain identical to the
-            # one-round bodies (same random stream, same records).
-            stash_rows = -(-(n_train + 2) // 8) * 8
+            # CHUNKED multi-round driver (20 rounds per launch, chain
+            # identical to the one-round bodies). n <= 128: one Pallas
+            # kernel per chunk with candidate transform/priors in-kernel
+            # AND the per-record prediction factors [L | L^-1 y | L^-1 1]
+            # stashed as free factorization byproducts (deletes the
+            # ~10 ms/1000-draw posterior factor-cache rebuild);
+            # 128 < n <= 512: the driver's XLA fallback (scan of batched
+            # quadratics rounds) — same records, amortized per-round
+            # overhead, factor cache rebuilt the classic way.
+            use_stash = n_train <= 128
+            stash_rows = (-(-(n_train + 2) // 8) * 8) if use_stash else None
             rounds_fn = make_mh_rounds(spec, x, y, s2,
                                        theta1_prior=theta1_prior,
                                        theta2_prior=theta2_prior,
                                        p_prior=p_prior, jitter=jitter,
-                                       stash=True)
+                                       stash=use_stash)
         else:
             # whole-round evaluation: the K speculative candidates' Grams,
             # factorizations, log-posteriors and the MH first-acceptance

@@ -62,10 +62,12 @@ def bracket(tag, y_true, quant_vs_truth, seeds, dtype, jitter, spec,
 
     def one(key):
         kf, kp = jax.random.split(key)
+        # mle_method='bfgs' matches the goldens' plug-in path exactly
+        # (the grid plug-in lands on a slightly different sigma^2 and
+        # shifts the calibration statistic)
         fit = fit_combined_gp(spec, x, y, kf, mcmc=mcmc, theta1_prior=t1p,
                               theta2_prior=t2p, jitter=jitter,
-                              sigma2=sigma2,
-                              mle_method="grid" if sigma2 is None else "bfgs")
+                              sigma2=sigma2)
         qref = jnp.asarray(y_true, dtype) if quant_vs_truth else None
         pred = predict_combined_gp(spec, fit, x, x_new, kp, quant_ref=qref)
         return (pred.mean, pred.lower, pred.upper, pred.quant, fit.chain_ok)
