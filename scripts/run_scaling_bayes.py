@@ -53,8 +53,8 @@ def main():
     lines = ["", "## Full-Bayesian scaling (synthetic 4-D, Laplace + "
              "Geweke-stopped Metropolis + 400-draw predict at 512 pts, "
              "v5e f32)", "",
-             "| n train | jitter | wall-clock | RMSPE | draws | healthy |",
-             "|---|---|---|---|---|---|"]
+             "| n train | jitter | wall-clock | ms / recorded draw | RMSPE | draws | healthy |",
+             "|---|---|---|---|---|---|---|"]
 
     for n in SIZES:
         jitter = 1e-3 if n <= 256 else 3e-3
@@ -94,7 +94,8 @@ def main():
         t2 = min(batch(3) for _ in range(3))
         ms = (t2 - t1) / 2 * 1e3
         rmspe = float(np.sqrt(np.mean((yt_np - np.asarray(out[0])) ** 2)))
-        lines.append(f"| {n} | {jitter} | {ms:.1f} ms | {rmspe:.4f} | "
+        lines.append(f"| {n} | {jitter} | {ms:.1f} ms | "
+                     f"{ms / max(int(out[2]), 1):.3f} | {rmspe:.4f} | "
                      f"{int(out[2])} | {bool(out[1])} |")
         print(lines[-1], flush=True)
 
