@@ -19,6 +19,11 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 SIZES = [100, 256, 512, 1024, 2048, 4096]
+if "--big" in sys.argv:
+    # the HBM-resident large-n extension: one chip, f32, chunked Gram
+    # workspaces (bs floor 1); shows the TPU-first design scaling where
+    # R never could
+    SIZES = [8192, 16384]
 
 
 def main():
@@ -67,7 +72,8 @@ def main():
         # candidate batches are vmapped in memory-bounded chunks: a full
         # 128-wide vmap over n=4096 mixed Grams (2 components + mix) would
         # need ~26 GB; cap the live Gram workspace near 2 GB
-        bs = max(4, min(128, int(2e9 / (3 * 4 * n * n))))
+        bs = max(1 if n > 4096 else 4,
+                 min(128, int(2e9 / (3 * 4 * n * n))))
 
         def fit_predict(x, y, xt):
             mg = jnp.asarray(mle_grid)
@@ -117,7 +123,7 @@ def main():
             return time.perf_counter() - t0
 
         batch(1)
-        k1, k2 = 2, 8
+        k1, k2 = (1, 3) if n >= 8192 else (2, 8)
         t1 = min(batch(k1) for _ in range(3))
         t2 = min(batch(k2) for _ in range(3))
         ms = (t2 - t1) / (k2 - k1) * 1e3
