@@ -190,7 +190,7 @@ def make_mh_round(
     f(z, lp_val, lp_beta, cands (K, dim), log_u (K,)) ->
     (z_new, val_new, beta_new, any_acc, consumed).
 
-    On TPU for SE/SE mixtures (n <= 128, K <= 16) this is ONE Pallas
+    On TPU for SE/SE mixtures (n <= 256, K <= 16) this is ONE Pallas
     kernel — Gram builds, factorizations, log-posteriors AND the
     first-acceptance scan (`ops/pallas_chol_smallk.fused_mix_mh_round`);
     the profiler trace showed the unfused round spending ~12 of 33 us in
@@ -226,7 +226,7 @@ def make_mh_round(
     def mh_round(z, lp_val, lp_beta, cands, log_u):
         kk = cands.shape[0]
         if (se_mix and jax.default_backend() == "tpu"
-                and x.shape[-2] <= 128 and kk <= 16):
+                and x.shape[-2] <= 256 and kk <= 16):
             from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_round
 
             params, log_jac = jax.vmap(lambda c: unpack(spec, c))(cands)
@@ -266,7 +266,8 @@ def make_mh_rounds(
     f(z, lp_val, lp_beta, deltas (R*K, dim), log_u (R, K)) -> dict (see
     `ops.pallas_chol_smallk.fused_mix_mh_rounds`).
 
-    On TPU for SE/SE mixtures (n <= 128) the R rounds run as ONE Pallas
+    On TPU for SE/SE mixtures (n <= 128, or n <= 256 without stash via
+    the two-tile blocked Schur core) the R rounds run as ONE Pallas
     kernel with the candidate transform, priors and Jacobians evaluated
     IN-KERNEL via the lane-space closure below — the per-round XLA
     overhead (~30 tiny unpack/prior/operand-prep ops plus a kernel
@@ -358,8 +359,11 @@ def make_mh_rounds(
 
     def mh_rounds(z, lp_val, lp_beta, deltas, log_u):
         rr, kk = log_u.shape
+        # two-tile (128 < n <= 256) runs the blocked Schur core; its
+        # factor byproducts are partial, so stash stays single-tile
+        n_cap = 128 if stash else 256
         if (se_mix and jax.default_backend() == "tpu"
-                and x.shape[-2] <= 128 and kk <= 16):
+                and x.shape[-2] <= n_cap and kk <= 16):
             from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds
 
             return fused_mix_mh_rounds(x, y, z, lp_val, lp_beta, sigma2,

@@ -61,7 +61,8 @@ def _make_kernel(n: int):
         dtype = m.dtype
         kk = m.shape[0]
 
-        ld, qyy, qoy, qoo, _, _, _ = _CORE(m, ry, ro, n, kk, dtype)
+        ld, qyy, qoy, qoo, _, _, _ = _core_for(m.shape[-1])(
+            m, ry, ro, n, kk, dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, m.shape[-1]), 2)
         out_ref[...] = jnp.where(
             lane == 0, ld, jnp.where(
@@ -268,6 +269,96 @@ def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
 _CORE = _chol_quad_core
 
 
+def _chol_quad_core_2tile(m, ry, ro, n: int, kk: int, dtype):
+    """Two-tile (128 < n <= 256) BLOCKED core: 128 fully-unrolled panel
+    steps + ONE MXU Schur downdate + the unrolled single-tile core on the
+    trailing block.
+
+    The straight extension of `_chol_quad_core` to 256 lanes is latency-
+    dead on Mosaic: the fori supports only unroll=1 or full, the fully
+    unrolled 256-step program does not compile in reasonable time, and the
+    rolled version measured ~6% SLOWER than the XLA bordered fallback
+    (see `chol_quadratics_smallk`). Here every sequential step stays at
+    most one tile wide:
+
+    * phase 1 — 128 unrolled rank-1 steps restricted to the ROW panel
+      m[:, :128, :] (rows 0:127 across all lanes). Downdating the row
+      panel keeps row j — the symmetric image of pivot column j — current
+      over the FULL lane width, so the lane-oriented column extraction
+      stays a sublane-masked reduce (no transposes, the Mosaic killer).
+      The fused [y, 1] substitution runs full-width exactly as in the
+      single-tile core, so lanes >= 128 of ry/ro finish phase 1 already
+      holding r2 - L21 L11^{-1} r1.
+    * Schur — after step j row j is frozen, so the upper-right panel
+      m1[:, j, 128:] holds the UNSCALED transposed off-diagonal factor
+      d_j^{1/2} L[128+i, j] in lane orientation; one row-rescale by the
+      accumulated d_j^{-1/2} column and ONE HIGHEST-precision MXU
+      dot_general contracting the sublane axis applies all 128 rank-1
+      downdates to the trailing block at once (bf16 MXU passes break
+      Cholesky — measured on the blocked rank-8 core).
+    * phase 2 — `_chol_quad_core` on the (K, ns-128, 128) Schur
+      complement, fully unrolled (n - 128 <= 128 steps).
+
+    Identity-padded rows/lanes pass through unchanged: their panel
+    entries stay zero, the Schur dot contributes nothing to them, and
+    phase 2 sees the same identity pad the single-tile core expects.
+    Non-PSD inputs surface as NaN through rsqrt exactly as in the
+    single-tile core. The returned factor byproducts (mfin, wy, wo) are
+    PHASE-1 PARTIAL values only — callers must NOT stash prediction
+    factors from this core (`fused_mix_mh_rounds` enforces stash=False
+    beyond one tile).
+    """
+    ns, tile = m.shape[1], m.shape[-1]
+    t1 = TILE
+    m1 = m[:, :t1, :]                                   # (K, 128, tile)
+    iirow1 = jax.lax.broadcasted_iota(jnp.int32, (kk, t1, 1), 1)
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+
+    ld = jnp.zeros((kk, 1, 1), dtype)
+    wy = jnp.zeros((kk, 1, tile), dtype)
+    wo = jnp.zeros((kk, 1, tile), dtype)
+    dinvcol = jnp.zeros((kk, t1, 1), dtype)
+    for j in range(t1):
+        clane = jnp.sum(jnp.where(iirow1 == j, m1, 0.0), axis=1,
+                        keepdims=True)                  # (K, 1, tile)
+        crow = jnp.sum(jnp.where(iilane == j, m1, 0.0), axis=2,
+                       keepdims=True)                   # (K, 128, 1)
+        d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                     keepdims=True)
+        dinv = jax.lax.rsqrt(d2)
+        ld = ld + jnp.log(d2)
+        dinvcol = jnp.where(iirow1 == j, dinv, dinvcol)
+        lrow = jnp.where(iirow1 > j, crow, 0.0) * dinv
+        llane = jnp.where(iilane > j, clane, 0.0) * dinv
+        m1 = m1 - lrow * llane
+        rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                      keepdims=True) * dinv
+        rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                      keepdims=True) * dinv
+        wy = jnp.where(iilane == j, rjy, wy)
+        wo = jnp.where(iilane == j, rjo, wo)
+        ry = ry - llane * rjy
+        ro = ro - llane * rjo
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+
+    us = m1[:, :, t1:] * dinvcol                        # (K, 128, tile-128)
+    schur = jax.lax.dot_general(
+        us, us, (((1,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype)                   # (K, t2, t2)
+    s22 = m[:, t1:, t1:] - schur[:, :ns - t1, :]
+    ld2, qyy2, qoy2, qoo2, _, _, _ = _chol_quad_core(
+        s22, ry[:, :, t1:], ro[:, :, t1:], n - t1, kk, dtype)
+    return (ld + ld2, qyy + qyy2, qoy + qoy2, qoo + qoo2, m1, wy, wo)
+
+
+def _core_for(tile: int):
+    """Select the factorization core by static working-set width."""
+    return _chol_quad_core if tile <= TILE else _chol_quad_core_2tile
+
+
 def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
                            jitter: float = 0.0,
                            interpret: bool = False) -> dict:
@@ -282,12 +373,15 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
     rolled loop (bench.py full-Bayes 129 -> 90 ms) at the cost of
     per-(n, K)-shape compile time, amortized by the persistent cache.
 
-    n in (128, 256] pads to a two-tile 256 working set with a ROLLED loop
-    (the unrolled program gets too large). MEASURED VERDICT: at n=256 the
-    rolled two-tile kernel is ~6% SLOWER than the XLA bordered fallback on
-    the same chain (1979 vs 1857 ms, identical 1340-draw trajectory), so
-    the `chol_quadratics`/`make_logpost_batch` dispatchers route only
-    n <= 128 here; the capability stays tested for callers who want it.
+    n in (128, 256] routes through the two-tile BLOCKED-SCHUR core
+    (`_chol_quad_core_2tile`: 128 unrolled panel steps + one MXU Schur
+    downdate + the unrolled single-tile core on the trailing block). The
+    earlier ROLLED two-tile loop measured ~6% SLOWER than the XLA
+    bordered fallback (1979 vs 1857 ms on an identical 1340-draw chain);
+    the blocked core replaced it in round 3 and cut the n=256
+    full-Bayesian fit 1802.8 -> 341.0 ms on that same chain (RESULTS.md
+    full-Bayesian scaling), with records bit-identical to the XLA
+    fallback on-chip.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -362,7 +456,8 @@ def _make_fused_kernel(n: int, ndim: int, jitter: float):
                               jnp.asarray(jitter, dtype), 0.0)
 
         # ---- shared factorization + substitution core --------------------
-        ld, qyy, qoy, qoo, _, _, _ = _CORE(m, ry, ro, n, kk, dtype)
+        ld, qyy, qoy, qoo, _, _, _ = _core_for(m.shape[-1])(
+            m, ry, ro, n, kk, dtype)
         lane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, m.shape[-1]), 2)
         out_ref[...] = jnp.where(
             lane == 0, ld, jnp.where(
@@ -470,7 +565,8 @@ def _make_mh_kernel(n: int, ndim: int, jitter: float, log2pi: float):
             m = m + jnp.where(real & (iirow == iilane),
                               jnp.asarray(jitter, dtype), 0.0)
 
-        ld, qyy, qoy, qoo, _, _, _ = _CORE(m, ry, ro, n, kk, dtype)
+        ld, qyy, qoy, qoo, _, _, _ = _core_for(m.shape[-1])(
+            m, ry, ro, n, kk, dtype)
 
         # ---- per-candidate log-posterior and MH first-acceptance ---------
         beta = qoy / qoo                                       # (K, 1, 1)
@@ -695,7 +791,8 @@ def _make_mh_rounds_kernel(n: int, ndim: int, dim: int, kk: int,
 
         ryk = jnp.broadcast_to(ry_ref[...], (kk, 1, tile))
         rok = jnp.broadcast_to(ro_ref[...], (kk, 1, tile))
-        ld, qyy, qoy, qoo, mfin, wy, wo = _CORE(m0, ryk, rok, n, kk, dtype)
+        ld, qyy, qoy, qoo, mfin, wy, wo = _core_for(m0.shape[-1])(
+            m0, ryk, rok, n, kk, dtype)
         beta = qoy / qoo
         quad = qyy - qoy * qoy / qoo
         val = (-0.5 * (n * log2pi + ld + n * log_scale
@@ -791,8 +888,14 @@ def fused_mix_mh_rounds(
     assert rk == rr * kk
     dtype = x.dtype
     tile = -(-n // TILE) * TILE
-    if tile > TILE:
-        raise ValueError(f"n must be <= {TILE} for the multi-round kernel")
+    if tile > 2 * TILE:
+        raise ValueError(
+            f"n must be <= {2 * TILE} for the multi-round kernel")
+    if stash and tile > TILE:
+        # the two-tile blocked core's factor byproducts are phase-1
+        # partial values (see _chol_quad_core_2tile) — no stash beyond
+        # one tile
+        raise ValueError(f"stash=True needs n <= {TILE}")
     if d > TILE:
         raise ValueError(f"d must be <= {TILE}")
     ns2 = -(-(n + 2) // 8) * 8 if stash else -(-n // 8) * 8

@@ -216,3 +216,59 @@ def test_rounds_kernel_interpret_matches_fallback(problem):
                            np.asarray(jax.scipy.linalg.solve_triangular(
                                jnp.asarray(chol), jnp.ones_like(y),
                                lower=True)), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_rounds_kernel_two_tile_interpret_matches_fallback():
+    """128 < n <= 256 (no stash): the two-tile blocked-Schur kernel path
+    must agree with the XLA fallback on records, flags and final state
+    (slow: the unrolled two-tile interpret program is a multi-minute CPU
+    compile)."""
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
+                       dim=2, rough="tied", anisotropic=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(size=(140, 2)))
+    y = jnp.sin(5 * x[:, 0]) + jnp.cos(3 * x[:, 1])
+    kw = dict(theta1_prior=LogNormal(-1, 1), theta2_prior=InverseGamma(3, 4),
+              jitter=1e-6)
+    s2 = jnp.asarray(0.05)
+    rounds_x = make_mh_rounds(spec, x, y, s2, **kw)     # fallback on CPU
+
+    R, K, dim = 4, 4, 4
+    z = jnp.asarray([0.6, 0.4, 0.1, -0.2])
+    deltas = jnp.asarray(0.25 * rng.normal(size=(R * K, dim)))
+    log_u = jnp.asarray(np.log(rng.uniform(size=(R, K))))
+    lpv = jnp.asarray(-1e6)
+    lpb = jnp.asarray(0.0)
+    ref = rounds_x(z, lpv, lpb, deltas, log_u)
+
+    import jax as _jax
+
+    import ccgp_tpu.models.likelihood as _lk
+    import ccgp_tpu.ops.pallas_chol_smallk as sk
+
+    orig = sk.fused_mix_mh_rounds
+
+    def spy(*args, **kws):
+        kws = dict(kws)
+        kws["interpret"] = True
+        return orig(*args, **kws)
+
+    sk.fused_mix_mh_rounds = spy
+    orig_backend = _jax.default_backend
+    try:
+        rounds_k = _lk.make_mh_rounds(spec, x, y, s2, stash=False, **kw)
+        _jax.default_backend = lambda: "tpu"
+        out = rounds_k(z, lpv, lpb, deltas, log_u)
+    finally:
+        _jax.default_backend = orig_backend
+        sk.fused_mix_mh_rounds = orig
+
+    assert np.array_equal(np.asarray(ref["acc"]), np.asarray(out["acc"]))
+    assert np.array_equal(np.asarray(ref["consumed"]),
+                          np.asarray(out["consumed"]))
+    assert np.allclose(np.asarray(ref["rec"]), np.asarray(out["rec"]),
+                       rtol=1e-6, atol=1e-6)
+    assert np.allclose(np.asarray(ref["z_fin"]), np.asarray(out["z_fin"]),
+                       rtol=1e-6, atol=1e-6)
+    assert "stash" not in out

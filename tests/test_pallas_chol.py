@@ -3,6 +3,7 @@ mode on CPU; the real-TPU path is exercised by bench.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ccgp_tpu.ops import kernels, linalg
 from ccgp_tpu.ops.gp import profile_nll
@@ -346,3 +347,43 @@ def test_fused_mh_round_matches_sequential_oracle(rng):
             hits.add("rej")
             assert not bool(got[3]) and int(got[4]) == 4
     assert hits == {"acc", "rej"}  # both branches exercised
+
+
+@pytest.mark.slow
+def test_smallk_two_tile_interpret_matches_xla(rng):
+    """128 < n <= 256 routes through the blocked two-tile Schur core
+    (`_chol_quad_core_2tile`): 128 unrolled panel steps + one MXU
+    dot_general downdate + the unrolled single-tile core on the trailing
+    block. Interpret-mode parity vs the XLA path (slow: the unrolled
+    two-tile program is a multi-minute CPU compile)."""
+    from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
+
+    grams, y = _batch(rng, b=3, n=150)
+    # jitter 1e-6: an n=150 SE Gram is near-singular, so the blocked
+    # core's different reduction order legitimately differs from the
+    # sequential rank-1 order by ~kappa * eps in the quadratics
+    qx = chol_quadratics(grams, y, jitter=1e-6, use_pallas=False)
+    qs = chol_quadratics_smallk(grams, y, jitter=1e-6, interpret=True)
+    for k in qx:
+        assert np.allclose(np.asarray(qx[k]), np.asarray(qs[k]),
+                           rtol=1e-7), k
+
+
+def test_rounds_kernel_two_tile_stash_rejected():
+    """The two-tile blocked core's factor byproducts are phase-1 partial
+    values: stash must be refused beyond one tile, and n > 256 is out of
+    range entirely."""
+    import pytest as _pytest
+
+    from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds
+
+    x = jnp.zeros((150, 2))
+    y = jnp.zeros((150,))
+    deltas = jnp.zeros((8, 4))
+    log_u = jnp.zeros((2, 4))
+    args = (x, y, jnp.zeros(4), 0.0, 0.0, 1.0, deltas, log_u, None)
+    with _pytest.raises(ValueError, match="stash"):
+        fused_mix_mh_rounds(*args, stash=True)
+    big = (jnp.zeros((300, 2)), jnp.zeros((300,))) + args[2:]
+    with _pytest.raises(ValueError, match="multi-round"):
+        fused_mix_mh_rounds(*big)
