@@ -134,7 +134,7 @@ def make_logpost_batch(
         params, log_jac = jax.vmap(lambda z: unpack(spec, z))(zs)
         kk = zs.shape[0]
         if (se_mix and jax.default_backend() == "tpu"
-                and x.shape[-2] <= 128 and kk <= 16):
+                and x.shape[-2] <= 256 and kk <= 16):
             # SE mixture: build the Gram INSIDE the latency kernel — the
             # per-axis sq-diff stack is a loop invariant, so each round
             # ships only the (K, d) rate rows (no Gram in HBM at all)

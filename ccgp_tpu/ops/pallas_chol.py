@@ -238,7 +238,7 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
                     interpret: bool = False) -> dict:
     """Batched {logdet, y'R^-1 y, 1'R^-1 y, 1'R^-1 1} for small Grams.
 
-    grams: (B, n, n) with n <= 128; y: (n,).
+    grams: (B, n, n); y: (n,).
 
     Backend selection (all numbers fetch-clean slope timings on v5e, f32,
     128x128): XLA's batched Cholesky+solve runs ~13.5 us/matrix; the
@@ -248,10 +248,12 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
     SMALL-K kernel (pallas_chol_smallk, all K matrices factorized
     simultaneously, fully unrolled) cuts the speculative-Metropolis
     round by ~2x vs the XLA path (bench.py full-Bayes 168 -> 90 ms).
-    Default (use_pallas=None) on TPU with n <= 128: batches >= 64 ->
-    lanes kernel, batches <= 16 -> small-K kernel, else XLA; always XLA
-    on other backends or n > 128. use_pallas=True forces this module's
-    per-matrix kernel (kept as a tested exploration baseline).
+    Default (use_pallas=None) on TPU: batches >= 64 with n <= 128 ->
+    lanes kernel; batches <= 16 with n <= 256 -> small-K kernel (n in
+    (128, 256] rides its two-tile blocked-Schur core, measured 137.5 vs
+    166.3 us per K=4 eval against the XLA bordered path at n=256); else
+    XLA — always XLA on other backends. use_pallas=True forces this
+    module's per-matrix kernel (kept as a tested exploration baseline).
     """
     if use_pallas is None:
         if (jax.default_backend() == "tpu" and grams.shape[0] >= 64
@@ -260,7 +262,7 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
 
             return chol_quadratics_lanes(grams, y, jitter=jitter)
         if (jax.default_backend() == "tpu" and grams.shape[0] <= 16
-                and grams.shape[1] <= TILE):
+                and grams.shape[1] <= 2 * TILE):
             from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
 
             return chol_quadratics_smallk(grams, y, jitter=jitter)

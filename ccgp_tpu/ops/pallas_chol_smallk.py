@@ -362,7 +362,7 @@ def _core_for(tile: int):
 def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
                            jitter: float = 0.0,
                            interpret: bool = False) -> dict:
-    """Batched {logdet, qyy, qoy, qoo}; grams (K, n, n), n <= 128, K small.
+    """Batched {logdet, qyy, qoy, qoo}; grams (K, n, n), n <= 256, K small.
 
     One kernel invocation factorizes all K matrices simultaneously; use
     for latency-critical small batches — the `chol_quadratics` dispatcher
