@@ -94,6 +94,7 @@ def metropolis(
     mh_round: Callable | None = None,
     mh_rounds: Callable | None = None,
     rounds_per_call: int = 20,
+    rounds_per_call_warm: int = 120,
     stash_rows: int | None = None,
 ) -> MetropolisResult:
     """Run one chain. `logpost(z)` must return an object with `.val` (scalar
@@ -139,6 +140,17 @@ def metropolis(
     (tests/test_mh_rounds.py). Takes precedence over mh_round.
     `rounds_per_call` is clamped to `batch_size` so a chunk can cross at
     most one Geweke check boundary.
+
+    rounds_per_call_warm: chunk size of the WARM phase. A Geweke check can
+    only fire at record position >= samp_size, so while
+    k_rec + rounds_per_call_warm < samp_size NO round of a chunk can reach
+    a check boundary and the driver runs big check-free chunks (one kernel
+    launch + one slab landing per `rounds_per_call_warm` rounds, no
+    conditional); the check-aware `rounds_per_call` loop takes over for the
+    tail. The per-round random stream depends only on the sequential key
+    splits, never on chunk boundaries, so the chain is bit-identical for
+    any warm size (the bench chain's ~90% of rounds sit below samp_size —
+    this deletes most of the per-chunk dispatch/conditional overhead).
     """
     if record not in ("accepted", "all"):
         raise ValueError(record)
@@ -274,87 +286,113 @@ def metropolis(
         # the <=1-Geweke-boundary-per-chunk truncation argument needs the
         # chunk's max new records (RR) to fit inside one check interval
         RR = min(RR, batch_size)
+        RW = max(RR, int(rounds_per_call_warm or 0))
 
-        # +RR slack rows for chunk overshoot, +1 scratch row that rejected
+        # +RW slack rows for chunk overshoot, +1 scratch row that rejected
         # rounds' scatter writes land in (never read)
-        Pc0 = jnp.zeros((n_max + RR + 1, dim + 2), dtype)
-        ST0 = (jnp.zeros((n_max + RR + 1, stash_rows, 128), dtype)
+        Pc0 = jnp.zeros((n_max + RW + 1, dim + 2), dtype)
+        ST0 = (jnp.zeros((n_max + RW + 1, stash_rows, 128), dtype)
                if stash_rows else None)
 
         def rng_step(k, _):
             k, k1, k2 = jax.random.split(k, 3)
             return k, (k1, k2)
 
+        def make_body(rr: int, check: bool):
+            """Chunk body for rr rounds; check=False elides the Geweke
+            conditional entirely (legal only while no round of the chunk
+            can reach record position samp_size)."""
+
+            def body_c(state):
+                key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
+                # chunk RNG: the EXACT per-round stream (sequential key
+                # splits via scan, then batched generation per round key —
+                # values identical to the one-round bodies')
+                # unroll: the 20-step sequential key-split scan costs
+                # ~60 us per chunk as a rolled while loop (profiler:
+                # while.232 + 2160 threefry fusions ~ 6-8 ms of the 50 ms
+                # fit); straight-line threefry chains fuse to ~1/4 of that
+                key, (k1s, k2s) = jax.lax.scan(rng_step, key, None,
+                                               length=rr, unroll=True)
+                eps = jax.vmap(
+                    lambda k1: jax.random.normal(k1, (K, dim), dtype))(k1s)
+                log_u = jax.vmap(lambda k2: jnp.log(
+                    jax.random.uniform(k2, (K,), dtype=dtype)))(k2s)
+                deltas = eps.reshape(rr * K, dim) @ prop_chol.T
+
+                out = mh_rounds(z, lpv, lpb, deltas, log_u)
+                acc_i = out["acc"].astype(jnp.int32)
+                cum_acc = jnp.cumsum(acc_i)
+                cum_con = jnp.cumsum(out["consumed"])
+                prev_acc = cum_acc - acc_i
+                prev_con = cum_con - out["consumed"]
+                # a round ran iff every cap held BEFORE it — always a
+                # prefix
+                runnable = (((n_prop + prev_con) < max_proposals)
+                            & ((k_rec + prev_acc) < n_max))
+                pos = k_rec + cum_acc
+
+                # land accepted rounds' post-state rows at their record
+                # positions first (the Geweke window reads P). Accepted
+                # rows are COMPACTED to the slab front by ONE gather
+                # (stable order), then ONE dynamic-update-slice lands the
+                # slab at k_rec: an XLA row-scatter lowers to a sequential
+                # update-per-row loop on TPU (~2 us x RR rows x the 53 KB
+                # stash rows dominated the chunk overhead). Rejected rows
+                # in the slab tail and any beyond-prefix rows are scratch
+                # that later chunks overwrite from the truncated k_rec.
+                idx_r = jnp.arange(rr)
+                order = jnp.argsort(jnp.where(out["acc"], idx_r,
+                                              rr + idx_r))
+                P = jax.lax.dynamic_update_slice(
+                    P, out["rec"][order], (k_rec, 0))
+                if ST is not None:
+                    ST = jax.lax.dynamic_update_slice(
+                        ST, out["stash"][order], (k_rec, 0, 0))
+
+                if check:
+                    check_round = (runnable & out["acc"]
+                                   & (pos >= samp_size)
+                                   & (pos % batch_size == 0))
+                    has_check = jnp.any(check_round)
+                    first_chk = jnp.argmax(check_round)
+                    pos_chk = pos[first_chk]
+                    pv = jax.lax.cond(has_check,
+                                      lambda: do_geweke(P, pos_chk),
+                                      lambda: pv)
+                    stopped = has_check & (pv >= alpha_geweke)
+                    valid = runnable & jnp.where(stopped,
+                                                 idx_r <= first_chk, True)
+                else:
+                    valid = runnable
+                n_acc_c = jnp.sum(jnp.where(valid, acc_i, 0))
+                n_con_c = jnp.sum(jnp.where(valid, out["consumed"], 0))
+                return (key, k_rec + n_acc_c, n_prop + n_con_c,
+                        n_acc + n_acc_c, out["z_fin"], out["val_fin"],
+                        out["beta_fin"], P, pv, ST)
+
+            return body_c
+
         def cond_c(state):
             key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
             return ((k_rec < n_max) & (pv < alpha_geweke)
                     & (n_prop < max_proposals))
 
-        def body_c(state):
+        def cond_warm(state):
             key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
-            # chunk RNG: the EXACT per-round stream (sequential key
-            # splits via scan, then batched generation per round key —
-            # values identical to the one-round bodies')
-            # unroll: the 20-step sequential key-split scan costs ~60 us
-            # per chunk as a rolled while loop (profiler: while.232 +
-            # 2160 threefry fusions ~ 6-8 ms of the 50 ms fit); straight-
-            # line threefry chains fuse to ~1/4 of that
-            key, (k1s, k2s) = jax.lax.scan(rng_step, key, None, length=RR,
-                                           unroll=True)
-            eps = jax.vmap(
-                lambda k1: jax.random.normal(k1, (K, dim), dtype))(k1s)
-            log_u = jax.vmap(lambda k2: jnp.log(
-                jax.random.uniform(k2, (K,), dtype=dtype)))(k2s)
-            deltas = eps.reshape(RR * K, dim) @ prop_chol.T
-
-            out = mh_rounds(z, lpv, lpb, deltas, log_u)
-            acc_i = out["acc"].astype(jnp.int32)
-            cum_acc = jnp.cumsum(acc_i)
-            cum_con = jnp.cumsum(out["consumed"])
-            prev_acc = cum_acc - acc_i
-            prev_con = cum_con - out["consumed"]
-            # a round ran iff every cap held BEFORE it — always a prefix
-            runnable = (((n_prop + prev_con) < max_proposals)
-                        & ((k_rec + prev_acc) < n_max))
-            pos = k_rec + cum_acc
-
-            # land accepted rounds' post-state rows at their record
-            # positions first (the Geweke window reads P). Accepted rows
-            # are COMPACTED to the slab front by ONE gather (stable
-            # order), then ONE dynamic-update-slice lands the slab at
-            # k_rec: an XLA row-scatter lowers to a sequential
-            # update-per-row loop on TPU (~2 us x RR rows x the 53 KB
-            # stash rows dominated the chunk overhead). Rejected rows in
-            # the slab tail and any beyond-prefix rows are scratch that
-            # later chunks overwrite from the truncated k_rec.
-            idx_r = jnp.arange(RR)
-            order = jnp.argsort(jnp.where(out["acc"], idx_r, RR + idx_r))
-            P = jax.lax.dynamic_update_slice(
-                P, out["rec"][order], (k_rec, 0))
-            if ST is not None:
-                ST = jax.lax.dynamic_update_slice(
-                    ST, out["stash"][order], (k_rec, 0, 0))
-
-            check_round = (runnable & out["acc"] & (pos >= samp_size)
-                           & (pos % batch_size == 0))
-            has_check = jnp.any(check_round)
-            first_chk = jnp.argmax(check_round)
-            pos_chk = pos[first_chk]
-            pv = jax.lax.cond(has_check,
-                              lambda: do_geweke(P, pos_chk), lambda: pv)
-            stopped = has_check & (pv >= alpha_geweke)
-            idx = jnp.arange(RR)
-            valid = runnable & jnp.where(stopped, idx <= first_chk, True)
-            n_acc_c = jnp.sum(jnp.where(valid, acc_i, 0))
-            n_con_c = jnp.sum(jnp.where(valid, out["consumed"], 0))
-            return (key, k_rec + n_acc_c, n_prop + n_con_c,
-                    n_acc + n_acc_c, out["z_fin"], out["val_fin"],
-                    out["beta_fin"], P, pv, ST)
+            # max record position a warm chunk can reach is k_rec + RW:
+            # strictly below samp_size means NO check boundary is
+            # reachable, so eliding the Geweke conditional cannot change
+            # the chain
+            return ((k_rec + RW < samp_size) & (k_rec < n_max)
+                    & (pv < alpha_geweke) & (n_prop < max_proposals))
 
         init_c = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
                   z0, lp0.val, lp0.beta, Pc0, jnp.asarray(0.0, dtype), ST0)
+        warm = jax.lax.while_loop(cond_warm, make_body(RW, check=False),
+                                  init_c)
         (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv, ST) = (
-            jax.lax.while_loop(cond_c, body_c, init_c)
+            jax.lax.while_loop(cond_c, make_body(RR, check=True), warm)
         )
         row_ids = jnp.arange(n_max)
         recorded = row_ids < k_rec

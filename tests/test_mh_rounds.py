@@ -96,6 +96,53 @@ def test_chunked_nmax_cap(problem):
     assert int(r1.n_recorded) == 37
 
 
+def test_warm_phase_equals_sequential(problem):
+    # rounds_per_call_warm < samp_size so the check-free warm loop
+    # actually executes, covering the warm -> check-aware handoff: the
+    # chain must stay bit-identical to the one-round speculative body
+    _, _, _, _, lp, lpb, rounds, _ = problem
+    start = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(11)
+    kw = dict(n_max=400, samp_size=120, batch_size=20, alpha_geweke=0.5)
+    r1 = metropolis(lp, start, key, logpost_batch=lpb, speculative=4, **kw)
+    r2 = metropolis(lp, start, key, mh_rounds=rounds, rounds_per_call=16,
+                    rounds_per_call_warm=48, speculative=4, **kw)
+    _assert_identical(r1, r2)
+
+
+def test_warm_phase_proposal_cap(problem):
+    # the proposal cap lands INSIDE a warm (check-free) chunk: prefix
+    # truncation must stop the chain at exactly the sequential point
+    _, _, _, _, lp, lpb, rounds, _ = problem
+    start = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(7)
+    kw = dict(n_max=400, samp_size=120, batch_size=20, alpha_geweke=0.5,
+              max_proposals=53)
+    r1 = metropolis(lp, start, key, logpost_batch=lpb, speculative=4, **kw)
+    r2 = metropolis(lp, start, key, mh_rounds=rounds, rounds_per_call=16,
+                    rounds_per_call_warm=48, speculative=4, **kw)
+    _assert_identical(r1, r2)
+    assert int(r1.n_proposals) >= 53
+
+
+def test_warm_phase_geweke_stop(problem):
+    # alpha tiny -> the FIRST check (at pos samp_size) passes: the warm
+    # loop must hand off to the check-aware loop exactly at the boundary
+    # and stop there, identical to the sequential body. (With valid
+    # configs samp_size <= n_max, so the n_max cap can never land inside
+    # the warm phase — warm exits strictly below samp_size.)
+    _, _, _, _, lp, lpb, rounds, _ = problem
+    start = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(5)
+    kw = dict(n_max=400, samp_size=100, batch_size=20, alpha_geweke=1e-9)
+    r1 = metropolis(lp, start, key, logpost_batch=lpb, speculative=4, **kw)
+    r2 = metropolis(lp, start, key, mh_rounds=rounds, rounds_per_call=16,
+                    rounds_per_call_warm=32, speculative=4, **kw)
+    assert bool(r1.converged)
+    _assert_identical(r1, r2)
+    assert int(r1.n_recorded) % 20 == 0
+
+
 def test_chunk_rng_matches_per_round_stream():
     # the chunk generator (scan of splits + batched normal/uniform) must
     # emit the SAME values as the per-round split/normal/uniform sequence
