@@ -117,11 +117,9 @@ def fit_combined_gp(
             # AND the per-record prediction factors [L | L^-1 y | L^-1 1]
             # stashed as free factorization byproducts (deletes the
             # ~10 ms/1000-draw posterior factor-cache rebuild);
-            # 128 < n <= 256: the two-tile blocked-Schur kernel (no
+            # 128 < n <= 512: the multi-tile blocked-Schur kernel (no
             # stash — its factor byproducts are partial), factor cache
-            # rebuilt the classic way; 256 < n <= 512: the driver's XLA
-            # fallback (scan of batched quadratics rounds) — same
-            # records in every regime.
+            # rebuilt the classic way — same records in every regime.
             use_stash = n_train <= 128
             stash_rows = (-(-(n_train + 2) // 8) * 8) if use_stash else None
             rounds_fn = make_mh_rounds(spec, x, y, s2,

@@ -266,8 +266,8 @@ def make_mh_rounds(
     f(z, lp_val, lp_beta, deltas (R*K, dim), log_u (R, K)) -> dict (see
     `ops.pallas_chol_smallk.fused_mix_mh_rounds`).
 
-    On TPU for SE/SE mixtures (n <= 128, or n <= 256 without stash via
-    the two-tile blocked Schur core) the R rounds run as ONE Pallas
+    On TPU for SE/SE mixtures (n <= 128, or n <= 512 without stash via
+    the multi-tile blocked Schur core) the R rounds run as ONE Pallas
     kernel with the candidate transform, priors and Jacobians evaluated
     IN-KERNEL via the lane-space closure below — the per-round XLA
     overhead (~30 tiny unpack/prior/operand-prep ops plus a kernel
@@ -359,9 +359,9 @@ def make_mh_rounds(
 
     def mh_rounds(z, lp_val, lp_beta, deltas, log_u):
         rr, kk = log_u.shape
-        # two-tile (128 < n <= 256) runs the blocked Schur core; its
+        # 128 < n <= 512 runs the blocked multi-tile Schur core; its
         # factor byproducts are partial, so stash stays single-tile
-        n_cap = 128 if stash else 256
+        n_cap = 128 if stash else 512
         if (se_mix and jax.default_backend() == "tpu"
                 and x.shape[-2] <= n_cap and kk <= 16):
             from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds

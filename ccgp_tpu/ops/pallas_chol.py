@@ -249,11 +249,13 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
     simultaneously, fully unrolled) cuts the speculative-Metropolis
     round by ~2x vs the XLA path (bench.py full-Bayes 168 -> 90 ms).
     Default (use_pallas=None) on TPU: batches >= 64 with n <= 128 ->
-    lanes kernel; batches <= 16 with n <= 256 -> small-K kernel (n in
-    (128, 256] rides its two-tile blocked-Schur core, measured 137.5 vs
-    166.3 us per K=4 eval against the XLA bordered path at n=256); else
-    XLA — always XLA on other backends. use_pallas=True forces this
-    module's per-matrix kernel (kept as a tested exploration baseline).
+    lanes kernel; batches <= 16 with n <= 512 -> small-K kernel (n in
+    (128, 512] rides its multi-tile blocked-Schur core, measured 137.5
+    vs 166.3 us per K=4 eval against the XLA bordered path at n=256 and
+    0.14-0.43 vs 0.6-0.8 ms at n=300-512,
+    scripts/bench_multitile_smallk.py); else XLA — always XLA on other
+    backends. use_pallas=True forces this module's per-matrix kernel
+    (kept as a tested exploration baseline).
     """
     if use_pallas is None:
         if (jax.default_backend() == "tpu" and grams.shape[0] >= 64
@@ -262,7 +264,7 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
 
             return chol_quadratics_lanes(grams, y, jitter=jitter)
         if (jax.default_backend() == "tpu" and grams.shape[0] <= 16
-                and grams.shape[1] <= 2 * TILE):
+                and grams.shape[1] <= 4 * TILE):
             from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
 
             return chol_quadratics_smallk(grams, y, jitter=jitter)

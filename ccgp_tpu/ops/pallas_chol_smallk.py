@@ -269,17 +269,20 @@ def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
 _CORE = _chol_quad_core
 
 
-def _chol_quad_core_2tile(m, ry, ro, n: int, kk: int, dtype):
-    """Two-tile (128 < n <= 256) BLOCKED core: 128 fully-unrolled panel
-    steps + ONE MXU Schur downdate + the unrolled single-tile core on the
-    trailing block.
+def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
+    """Multi-tile (128 < n <= 512) BLOCKED-SCHUR core: per 128-row block,
+    128 fully-unrolled panel steps + ONE MXU Schur downdate of the
+    trailing block, recursing (via `_core_for`) on the Schur complement
+    until it fits the unrolled single-tile core. Two tiles give the
+    classic right-looking blocked scheme with one recursion level; three
+    and four tiles (n <= 384 / 512) peel one 128-block per level.
 
-    The straight extension of `_chol_quad_core` to 256 lanes is latency-
+    The straight extension of `_chol_quad_core` past 128 lanes is latency-
     dead on Mosaic: the fori supports only unroll=1 or full, the fully
-    unrolled 256-step program does not compile in reasonable time, and the
-    rolled version measured ~6% SLOWER than the XLA bordered fallback
-    (see `chol_quadratics_smallk`). Here every sequential step stays at
-    most one tile wide:
+    unrolled 256-step full-width program does not compile in reasonable
+    time, and the rolled version measured ~6% SLOWER than the XLA
+    bordered fallback (see `chol_quadratics_smallk`). Here every
+    sequential step stays on a 128-row panel:
 
     * phase 1 — 128 unrolled rank-1 steps restricted to the ROW panel
       m[:, :128, :] (rows 0:127 across all lanes). Downdating the row
@@ -287,7 +290,7 @@ def _chol_quad_core_2tile(m, ry, ro, n: int, kk: int, dtype):
       over the FULL lane width, so the lane-oriented column extraction
       stays a sublane-masked reduce (no transposes, the Mosaic killer).
       The fused [y, 1] substitution runs full-width exactly as in the
-      single-tile core, so lanes >= 128 of ry/ro finish phase 1 already
+      single-tile core, so trailing lanes of ry/ro finish phase 1 already
       holding r2 - L21 L11^{-1} r1.
     * Schur — after step j row j is frozen, so the upper-right panel
       m1[:, j, 128:] holds the UNSCALED transposed off-diagonal factor
@@ -296,15 +299,16 @@ def _chol_quad_core_2tile(m, ry, ro, n: int, kk: int, dtype):
       dot_general contracting the sublane axis applies all 128 rank-1
       downdates to the trailing block at once (bf16 MXU passes break
       Cholesky — measured on the blocked rank-8 core).
-    * phase 2 — `_chol_quad_core` on the (K, ns-128, 128) Schur
-      complement, fully unrolled (n - 128 <= 128 steps).
+    * recurse — `_core_for` on the (K, ns-128, tile-128) Schur
+      complement: the single-tile core (fully unrolled) once the
+      complement fits one tile, this core again otherwise.
 
     Identity-padded rows/lanes pass through unchanged: their panel
     entries stay zero, the Schur dot contributes nothing to them, and
-    phase 2 sees the same identity pad the single-tile core expects.
+    every level sees the same identity pad the single-tile core expects.
     Non-PSD inputs surface as NaN through rsqrt exactly as in the
     single-tile core. The returned factor byproducts (mfin, wy, wo) are
-    PHASE-1 PARTIAL values only — callers must NOT stash prediction
+    FIRST-PANEL PARTIAL values only — callers must NOT stash prediction
     factors from this core (`fused_mix_mh_rounds` enforces stash=False
     beyond one tile).
     """
@@ -349,14 +353,14 @@ def _chol_quad_core_2tile(m, ry, ro, n: int, kk: int, dtype):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=dtype)                   # (K, t2, t2)
     s22 = m[:, t1:, t1:] - schur[:, :ns - t1, :]
-    ld2, qyy2, qoy2, qoo2, _, _, _ = _chol_quad_core(
+    ld2, qyy2, qoy2, qoo2, _, _, _ = _core_for(tile - t1)(
         s22, ry[:, :, t1:], ro[:, :, t1:], n - t1, kk, dtype)
     return (ld + ld2, qyy + qyy2, qoy + qoy2, qoo + qoo2, m1, wy, wo)
 
 
 def _core_for(tile: int):
     """Select the factorization core by static working-set width."""
-    return _chol_quad_core if tile <= TILE else _chol_quad_core_2tile
+    return _chol_quad_core if tile <= TILE else _chol_quad_core_multitile
 
 
 def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
@@ -373,9 +377,9 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
     rolled loop (bench.py full-Bayes 129 -> 90 ms) at the cost of
     per-(n, K)-shape compile time, amortized by the persistent cache.
 
-    n in (128, 256] routes through the two-tile BLOCKED-SCHUR core
-    (`_chol_quad_core_2tile`: 128 unrolled panel steps + one MXU Schur
-    downdate + the unrolled single-tile core on the trailing block). The
+    n in (128, 512] routes through the multi-tile BLOCKED-SCHUR core
+    (`_chol_quad_core_multitile`: 128 unrolled panel steps + one MXU
+    Schur downdate per 128-block, recursing on the Schur complement). The
     earlier ROLLED two-tile loop measured ~6% SLOWER than the XLA
     bordered fallback (1979 vs 1857 ms on an identical 1340-draw chain);
     the blocked core replaced it in round 3 and cut the n=256
@@ -389,8 +393,8 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
     b, n, _ = grams.shape
     dtype = grams.dtype
     tile = -(-n // TILE) * TILE
-    if tile > 2 * TILE:
-        raise ValueError(f"n must be <= {2 * TILE}")
+    if tile > 4 * TILE:
+        raise ValueError(f"n must be <= {4 * TILE}")
     if jitter:
         grams = grams + jitter * jnp.eye(n, dtype=dtype)
     ns = -(-n // 8) * 8                  # sublanes: next multiple of 8
@@ -494,8 +498,8 @@ def fused_mix_quadratics_smallk(
     kk = r1.shape[0]
     dtype = x.dtype
     tile = -(-n // TILE) * TILE
-    if tile > 2 * TILE:
-        raise ValueError(f"n must be <= {2 * TILE}")
+    if tile > 4 * TILE:
+        raise ValueError(f"n must be <= {4 * TILE}")
     if d > TILE:
         raise ValueError(f"d must be <= {TILE}")
     ns = -(-n // 8) * 8
@@ -642,8 +646,8 @@ def fused_mix_mh_round(
     kk, dim = cands.shape
     dtype = x.dtype
     tile = -(-n // TILE) * TILE
-    if tile > 2 * TILE:
-        raise ValueError(f"n must be <= {2 * TILE}")
+    if tile > 4 * TILE:
+        raise ValueError(f"n must be <= {4 * TILE}")
     if d > TILE:
         raise ValueError(f"d must be <= {TILE}")
     ns = -(-n // 8) * 8
@@ -888,13 +892,13 @@ def fused_mix_mh_rounds(
     assert rk == rr * kk
     dtype = x.dtype
     tile = -(-n // TILE) * TILE
-    if tile > 2 * TILE:
+    if tile > 4 * TILE:
         raise ValueError(
-            f"n must be <= {2 * TILE} for the multi-round kernel")
+            f"n must be <= {4 * TILE} for the multi-round kernel")
     if stash and tile > TILE:
-        # the two-tile blocked core's factor byproducts are phase-1
-        # partial values (see _chol_quad_core_2tile) — no stash beyond
-        # one tile
+        # the blocked multi-tile core's factor byproducts are first-
+        # panel partial values (see _chol_quad_core_multitile) — no stash
+        # beyond one tile
         raise ValueError(f"stash=True needs n <= {TILE}")
     if d > TILE:
         raise ValueError(f"d must be <= {TILE}")

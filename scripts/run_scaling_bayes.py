@@ -3,10 +3,10 @@
 Complements the MAP scaling table (run_scaling.py): this times the
 reference's own pipeline — plug-in sigma^2 (batched grid) -> Laplace ->
 Geweke-stopped speculative Metropolis -> 400-draw posterior-predict at
-512 points — on synthetic 4-D problems. n <= 128 rides the small-K
-Pallas kernel + lanes factor cache; larger n exercises the documented
-XLA fallbacks (the dispatch guards), showing the pipeline scales past
-every Pallas tile limit. Appends to RESULTS.md.
+512 points — on synthetic 4-D problems. n <= 128 rides the single-tile
+multi-round Pallas kernel + factor stash; 128 < n <= 512 the multi-tile
+blocked-Schur rounds kernel (round-3: the XLA-fallback regime is gone).
+Appends to RESULTS.md.
 """
 from __future__ import annotations
 
@@ -19,7 +19,7 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-SIZES = [100, 256, 512]
+SIZES = [100, 256, 384, 512]
 
 
 def main():

@@ -369,10 +369,10 @@ def test_smallk_two_tile_interpret_matches_xla(rng):
                            rtol=1e-7), k
 
 
-def test_rounds_kernel_two_tile_stash_rejected():
-    """The two-tile blocked core's factor byproducts are phase-1 partial
-    values: stash must be refused beyond one tile, and n > 256 is out of
-    range entirely."""
+def test_rounds_kernel_multitile_stash_rejected():
+    """The blocked multi-tile core's factor byproducts are first-panel
+    partial values: stash must be refused beyond one tile, and n > 512
+    is out of range entirely."""
     import pytest as _pytest
 
     from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds
@@ -384,6 +384,23 @@ def test_rounds_kernel_two_tile_stash_rejected():
     args = (x, y, jnp.zeros(4), 0.0, 0.0, 1.0, deltas, log_u, None)
     with _pytest.raises(ValueError, match="stash"):
         fused_mix_mh_rounds(*args, stash=True)
-    big = (jnp.zeros((300, 2)), jnp.zeros((300,))) + args[2:]
+    big = (jnp.zeros((600, 2)), jnp.zeros((600,))) + args[2:]
     with _pytest.raises(ValueError, match="multi-round"):
         fused_mix_mh_rounds(*big)
+
+
+@pytest.mark.slow
+def test_smallk_three_tile_interpret_matches_xla(rng):
+    """256 < n routes through the RECURSIVE blocked multi-tile Schur core
+    (128-step panel + MXU downdate per level). n=260 is the smallest
+    three-level case: 128-panel -> 132-wide complement -> 128-panel ->
+    4-wide single-tile core. Interpret-mode parity vs the XLA path (slow:
+    the unrolled multi-tile program is a multi-minute CPU compile)."""
+    from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
+
+    grams, y = _batch(rng, b=2, n=260)
+    qx = chol_quadratics(grams, y, jitter=1e-6, use_pallas=False)
+    qs = chol_quadratics_smallk(grams, y, jitter=1e-6, interpret=True)
+    for k in qx:
+        assert np.allclose(np.asarray(qx[k]), np.asarray(qs[k]),
+                           rtol=1e-6), k
