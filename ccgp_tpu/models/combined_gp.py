@@ -150,7 +150,9 @@ def fit_combined_gp(
     betas = betas_all[mcmc.samp_size - mcmc.net_samp_size:]
     params, _ = jax.vmap(lambda z: unpack(spec, z))(zs)
     if res.factors is not None:
-        # the sampler already emitted each retained draw's factors
+        # the sampler already emitted each retained draw's factors (XLA
+        # fuses this row gather into the consumers; a dynamic-slice /
+        # lax.cond fast path was measured NEUTRAL-to-slower on the bench)
         hi = jnp.maximum(res.n_recorded - 1, 0)
         idx = jnp.clip(res.n_recorded - mcmc.net_samp_size
                        + jnp.arange(mcmc.net_samp_size), 0, hi)

@@ -60,9 +60,9 @@ def main():
     from ccgp_tpu.models import (InverseGamma, LogNormal, MCMCConfig,
                                  MixtureSpec, make_logpost)
     from ccgp_tpu.models.combination import unpack
-    from ccgp_tpu.models.likelihood import make_mh_round
+    from ccgp_tpu.models.likelihood import make_mh_rounds
     from ccgp_tpu.ops import kernels
-    from ccgp_tpu.predict.factors import build_factors
+    from ccgp_tpu.predict.factors import FactorCache
     from ccgp_tpu.predict.posterior import (posterior_predict,
                                             predictive_moments)
 
@@ -108,17 +108,23 @@ def main():
         s2, _, fit = _mle_laplace(x, y)
         return fit.mode[0] + s2
 
+    n_train = int(x.shape[0])
+    stash_rows = -(-(n_train + 2) // 8) * 8
+
     def _mcmc(x, y, key):
+        # mirrors models/combined_gp.py's TPU path: chunked multi-round
+        # Pallas driver + in-sampler factor stash (the bench pipeline)
         mle = kriging_mle_grid(fam, x, y, jitter=jitter)
         s2 = mle.sigma2
         lp = make_logpost(spec, x, y, s2, theta1_prior=t1p,
                           theta2_prior=t2p, jitter=jitter)
-        rnd = make_mh_round(spec, x, y, s2, theta1_prior=t1p,
-                            theta2_prior=t2p, jitter=jitter)
+        rnds = make_mh_rounds(spec, x, y, s2, theta1_prior=t1p,
+                              theta2_prior=t2p, jitter=jitter, stash=True)
         res = metropolis(lp, jnp.asarray(start_np), key, n_max=cfg.n_max,
                          samp_size=cfg.samp_size, batch_size=cfg.batch_size,
                          alpha_geweke=cfg.alpha_geweke, record=cfg.record,
-                         speculative=cfg.speculative, mh_round=rnd)
+                         speculative=cfg.speculative, mh_rounds=rnds,
+                         stash_rows=stash_rows)
         return s2, res
 
     def stage_mcmc(x, y, key):
@@ -126,11 +132,21 @@ def main():
         return res.samples[0, 0] + s2
 
     def _cache(x, y, key):
+        # the stash makes this a retained-window gather, as in
+        # combined_gp.fit_combined_gp
         s2, res = _mcmc(x, y, key)
         zs_all, betas_all, _ = res.retained(cfg.samp_size)
         zs = zs_all[cfg.samp_size - cfg.net_samp_size:]
         betas = betas_all[cfg.samp_size - cfg.net_samp_size:]
-        cache = build_factors(spec, x, y, zs, betas, jitter=jitter)
+        hi = jnp.maximum(res.n_recorded - 1, 0)
+        idx = jnp.clip(res.n_recorded - cfg.net_samp_size
+                       + jnp.arange(cfg.net_samp_size), 0, hi)
+        fac = res.factors[idx]
+        chol = jnp.tril(fac[:, :n_train, :n_train])
+        wy, wo = fac[:, n_train, :n_train], fac[:, n_train + 1, :n_train]
+        params, _ = jax.vmap(lambda z: unpack(spec, z))(zs)
+        cache = FactorCache(chol=chol, a=wy - betas[:, None] * wo, u=wo,
+                            beta=betas, params=params)
         return s2, cache
 
     def stage_cache(x, y, key):
