@@ -109,7 +109,7 @@ def fit_combined_gp(
               and spec.kernel2.raw_kind == "sqdist")
     if mcmc.speculative and mcmc.speculative > 1:
         if (MH_ROUNDS_CHUNKING and se_mix
-                and jax.default_backend() == "tpu" and n_train <= 512
+                and jax.default_backend() == "tpu"
                 and mcmc.record == "accepted"):
             # CHUNKED multi-round driver (20 rounds per launch, chain
             # identical to the one-round bodies). n <= 128: one Pallas
@@ -119,7 +119,9 @@ def fit_combined_gp(
             # ~10 ms/1000-draw posterior factor-cache rebuild);
             # 128 < n <= 512: the multi-tile blocked-Schur kernel (no
             # stash — its factor byproducts are partial), factor cache
-            # rebuilt the classic way — same records in every regime.
+            # rebuilt the classic way; n > 512: the driver's XLA scan
+            # fallback (still ~20 rounds per dispatch vs one) — same
+            # records in every regime.
             use_stash = n_train <= 128
             stash_rows = (-(-(n_train + 2) // 8) * 8) if use_stash else None
             rounds_fn = make_mh_rounds(spec, x, y, s2,

@@ -5,8 +5,8 @@ reference's own pipeline — plug-in sigma^2 (batched grid) -> Laplace ->
 Geweke-stopped speculative Metropolis -> 400-draw posterior-predict at
 512 points — on synthetic 4-D problems. n <= 128 rides the single-tile
 multi-round Pallas kernel + factor stash; 128 < n <= 512 the multi-tile
-blocked-Schur rounds kernel (round-3: the XLA-fallback regime is gone).
-Appends to RESULTS.md.
+blocked-Schur rounds kernel; n > 512 the chunked driver's XLA scan
+fallback (~20 rounds per dispatch). Appends to RESULTS.md.
 """
 from __future__ import annotations
 
@@ -19,7 +19,7 @@ import numpy as np
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
-SIZES = [100, 256, 384, 512]
+SIZES = [100, 256, 384, 512, 1024]
 
 
 def main():
