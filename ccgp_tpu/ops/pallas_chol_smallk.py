@@ -51,6 +51,14 @@ import jax
 import jax.numpy as jnp
 
 TILE = 128
+# Kernel-side cap on the blocked-Schur recursion (n <= MAX_N). The fit
+# path (`models/likelihood.py` n_cap / `ops/linalg.py` dispatch) routes
+# n <= 512 here — the regime with measured on-chip parity + latency wins;
+# 512 < n <= MAX_N is callable directly (hardware-validate before
+# widening the dispatch: interpret-mode equality does NOT rule out a
+# Mosaic miscompile, see `_chol_quad_core_slabs`'s history).
+MAX_TILES = 8
+MAX_N = MAX_TILES * TILE
 
 
 def _make_kernel(n: int):
@@ -270,12 +278,12 @@ _CORE = _chol_quad_core
 
 
 def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
-    """Multi-tile (128 < n <= 512) BLOCKED-SCHUR core: per 128-row block,
-    128 fully-unrolled panel steps + ONE MXU Schur downdate of the
+    """Multi-tile (128 < n <= MAX_N) BLOCKED-SCHUR core: per 128-row
+    block, 128 fully-unrolled panel steps + ONE MXU Schur downdate of the
     trailing block, recursing (via `_core_for`) on the Schur complement
     until it fits the unrolled single-tile core. Two tiles give the
-    classic right-looking blocked scheme with one recursion level; three
-    and four tiles (n <= 384 / 512) peel one 128-block per level.
+    classic right-looking blocked scheme with one recursion level; deeper
+    sizes peel one 128-block per level (MAX_TILES levels at MAX_N).
 
     The straight extension of `_chol_quad_core` past 128 lanes is latency-
     dead on Mosaic: the fori supports only unroll=1 or full, the fully
@@ -366,7 +374,7 @@ def _core_for(tile: int):
 def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
                            jitter: float = 0.0,
                            interpret: bool = False) -> dict:
-    """Batched {logdet, qyy, qoy, qoo}; grams (K, n, n), n <= 256, K small.
+    """Batched {logdet, qyy, qoy, qoo}; grams (K, n, n), n <= MAX_N, K small.
 
     One kernel invocation factorizes all K matrices simultaneously; use
     for latency-critical small batches — the `chol_quadratics` dispatcher
@@ -377,9 +385,11 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
     rolled loop (bench.py full-Bayes 129 -> 90 ms) at the cost of
     per-(n, K)-shape compile time, amortized by the persistent cache.
 
-    n in (128, 512] routes through the multi-tile BLOCKED-SCHUR core
+    n in (128, MAX_N] routes through the multi-tile BLOCKED-SCHUR core
     (`_chol_quad_core_multitile`: 128 unrolled panel steps + one MXU
-    Schur downdate per 128-block, recursing on the Schur complement). The
+    Schur downdate per 128-block, recursing on the Schur complement;
+    the fit-path dispatch stops at 512 — the hardware-validated
+    regime — while the kernel itself accepts up to MAX_N). The
     earlier ROLLED two-tile loop measured ~6% SLOWER than the XLA
     bordered fallback (1979 vs 1857 ms on an identical 1340-draw chain);
     the blocked core replaced it in round 3 and cut the n=256
@@ -393,8 +403,8 @@ def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
     b, n, _ = grams.shape
     dtype = grams.dtype
     tile = -(-n // TILE) * TILE
-    if tile > 4 * TILE:
-        raise ValueError(f"n must be <= {4 * TILE}")
+    if tile > MAX_N:
+        raise ValueError(f"n must be <= {MAX_N}")
     if jitter:
         grams = grams + jitter * jnp.eye(n, dtype=dtype)
     ns = -(-n // 8) * 8                  # sublanes: next multiple of 8
@@ -498,8 +508,8 @@ def fused_mix_quadratics_smallk(
     kk = r1.shape[0]
     dtype = x.dtype
     tile = -(-n // TILE) * TILE
-    if tile > 4 * TILE:
-        raise ValueError(f"n must be <= {4 * TILE}")
+    if tile > MAX_N:
+        raise ValueError(f"n must be <= {MAX_N}")
     if d > TILE:
         raise ValueError(f"d must be <= {TILE}")
     ns = -(-n // 8) * 8
@@ -646,8 +656,8 @@ def fused_mix_mh_round(
     kk, dim = cands.shape
     dtype = x.dtype
     tile = -(-n // TILE) * TILE
-    if tile > 4 * TILE:
-        raise ValueError(f"n must be <= {4 * TILE}")
+    if tile > MAX_N:
+        raise ValueError(f"n must be <= {MAX_N}")
     if d > TILE:
         raise ValueError(f"d must be <= {TILE}")
     ns = -(-n // 8) * 8
@@ -892,9 +902,9 @@ def fused_mix_mh_rounds(
     assert rk == rr * kk
     dtype = x.dtype
     tile = -(-n // TILE) * TILE
-    if tile > 4 * TILE:
+    if tile > MAX_N:
         raise ValueError(
-            f"n must be <= {4 * TILE} for the multi-round kernel")
+            f"n must be <= {MAX_N} for the multi-round kernel")
     if stash and tile > TILE:
         # the blocked multi-tile core's factor byproducts are first-
         # panel partial values (see _chol_quad_core_multitile) — no stash

@@ -371,11 +371,11 @@ def test_smallk_two_tile_interpret_matches_xla(rng):
 
 def test_rounds_kernel_multitile_stash_rejected():
     """The blocked multi-tile core's factor byproducts are first-panel
-    partial values: stash must be refused beyond one tile, and n > 512
-    is out of range entirely."""
+    partial values: stash must be refused beyond one tile, and n > MAX_N
+    (8 tiles) is out of range entirely."""
     import pytest as _pytest
 
-    from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds
+    from ccgp_tpu.ops.pallas_chol_smallk import MAX_N, fused_mix_mh_rounds
 
     x = jnp.zeros((150, 2))
     y = jnp.zeros((150,))
@@ -384,7 +384,7 @@ def test_rounds_kernel_multitile_stash_rejected():
     args = (x, y, jnp.zeros(4), 0.0, 0.0, 1.0, deltas, log_u, None)
     with _pytest.raises(ValueError, match="stash"):
         fused_mix_mh_rounds(*args, stash=True)
-    big = (jnp.zeros((600, 2)), jnp.zeros((600,))) + args[2:]
+    big = (jnp.zeros((MAX_N + 1, 2)), jnp.zeros((MAX_N + 1,))) + args[2:]
     with _pytest.raises(ValueError, match="multi-round"):
         fused_mix_mh_rounds(*big)
 
