@@ -359,9 +359,11 @@ def make_mh_rounds(
 
     def mh_rounds(z, lp_val, lp_beta, deltas, log_u):
         rr, kk = log_u.shape
-        # 128 < n <= 512 runs the blocked multi-tile Schur core; its
-        # factor byproducts are partial, so stash stays single-tile
-        n_cap = 128 if stash else 512
+        # 128 < n <= DISPATCH_N_CAP runs the blocked multi-tile Schur
+        # core; its factor byproducts are partial, so stash stays
+        # single-tile
+        from ccgp_tpu.ops.pallas_chol_smallk import DISPATCH_N_CAP
+        n_cap = 128 if stash else DISPATCH_N_CAP
         if (se_mix and jax.default_backend() == "tpu"
                 and x.shape[-2] <= n_cap and kk <= 16):
             from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds

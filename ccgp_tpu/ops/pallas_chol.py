@@ -263,11 +263,12 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
             from ccgp_tpu.ops.pallas_chol_lanes import chol_quadratics_lanes
 
             return chol_quadratics_lanes(grams, y, jitter=jitter)
-        if (jax.default_backend() == "tpu" and grams.shape[0] <= 16
-                and grams.shape[1] <= 4 * TILE):
-            from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
+        if jax.default_backend() == "tpu" and grams.shape[0] <= 16:
+            from ccgp_tpu.ops.pallas_chol_smallk import (
+                DISPATCH_N_CAP, chol_quadratics_smallk)
 
-            return chol_quadratics_smallk(grams, y, jitter=jitter)
+            if grams.shape[1] <= DISPATCH_N_CAP:
+                return chol_quadratics_smallk(grams, y, jitter=jitter)
         use_pallas = False
     b, n, _ = grams.shape
     if use_pallas:

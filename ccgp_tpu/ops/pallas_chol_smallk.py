@@ -52,13 +52,15 @@ import jax.numpy as jnp
 
 TILE = 128
 # Kernel-side cap on the blocked-Schur recursion (n <= MAX_N). The fit
-# path (`models/likelihood.py` n_cap / `ops/linalg.py` dispatch) routes
-# n <= 512 here — the regime with measured on-chip parity + latency wins;
-# 512 < n <= MAX_N is callable directly (hardware-validate before
-# widening the dispatch: interpret-mode equality does NOT rule out a
-# Mosaic miscompile, see `_chol_quad_core_slabs`'s history).
+# path (`models/likelihood.py` / `ops/pallas_chol.py`) routes
+# n <= DISPATCH_N_CAP here — the regime with measured on-chip parity +
+# latency wins; DISPATCH_N_CAP < n <= MAX_N is callable directly
+# (hardware-validate before widening the dispatch: interpret-mode
+# equality does NOT rule out a Mosaic miscompile, see
+# `_chol_quad_core_slabs`'s history — scripts/verify_multitile_tpu.py).
 MAX_TILES = 8
 MAX_N = MAX_TILES * TILE
+DISPATCH_N_CAP = 4 * TILE
 
 
 def _make_kernel(n: int):
