@@ -6,10 +6,17 @@ Geweke-stopped speculative Metropolis -> 400-draw posterior-predict at
 512 points — on synthetic 4-D problems. n <= 128 rides the single-tile
 multi-round Pallas kernel + factor stash; 128 < n <= 512 the multi-tile
 blocked-Schur rounds kernel; n > 512 the chunked driver's XLA scan
-fallback (~20 rounds per dispatch). Appends to RESULTS.md.
+fallback (~20 rounds per dispatch). Appends to RESULTS.md (or --out).
+
+`--sizes` selects the n sweep; `--cap` overrides the small-K fit-path
+dispatch cap (`ops.pallas_chol_smallk.DISPATCH_N_CAP`) for the run —
+used to time candidate widenings (e.g. n=600/768 through the multi-tile
+kernel) AFTER scripts/verify_multitile_tpu.py establishes on-chip parity
+at those sizes, without touching the shipped default.
 """
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -23,6 +30,14 @@ SIZES = [100, 256, 384, 512, 1024]
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="+", default=SIZES)
+    ap.add_argument("--cap", type=int, default=None,
+                    help="override smallk.DISPATCH_N_CAP for this run")
+    ap.add_argument("--out", type=str, default=None,
+                    help="append the table here instead of RESULTS.md")
+    args = ap.parse_args()
+
     import jax
 
     from ccgp_tpu.utils.cache import enable_persistent_cache
@@ -35,6 +50,10 @@ def main():
         predict_combined_gp,
     )
     from ccgp_tpu.ops import kernels
+    from ccgp_tpu.ops import pallas_chol_smallk as smallk
+
+    if args.cap is not None:
+        smallk.DISPATCH_N_CAP = args.cap
 
     dtype = jnp.float32
     d = 4
@@ -50,13 +69,15 @@ def main():
     cfg = MCMCConfig(start=(1.0, 1.0, 0.0), n_max=3000, samp_size=600,
                      net_samp_size=400, speculative=4)
 
+    cap_note = (f" (DISPATCH_N_CAP={args.cap})" if args.cap is not None
+                else "")
     lines = ["", "## Full-Bayesian scaling (synthetic 4-D, Laplace + "
              "Geweke-stopped Metropolis + 400-draw predict at 512 pts, "
-             "v5e f32)", "",
+             f"v5e f32){cap_note}", "",
              "| n train | jitter | wall-clock | ms / recorded draw | RMSPE | draws | healthy |",
              "|---|---|---|---|---|---|---|"]
 
-    for n in SIZES:
+    for n in args.sizes:
         jitter = 1e-3 if n <= 256 else 3e-3
         x_np = rng.uniform(size=(n, d))
         y_np = f_np(x_np).astype(np.float32)
@@ -99,9 +120,10 @@ def main():
                      f"{int(out[2])} | {bool(out[1])} |")
         print(lines[-1], flush=True)
 
-    with open(ROOT / "RESULTS.md", "a") as fh:
+    dest = Path(args.out) if args.out else ROOT / "RESULTS.md"
+    with open(dest, "a") as fh:
         fh.write("\n".join(lines) + "\n")
-    print("appended to RESULTS.md")
+    print(f"appended to {dest}")
 
 
 if __name__ == "__main__":
