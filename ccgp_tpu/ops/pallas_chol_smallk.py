@@ -54,13 +54,17 @@ TILE = 128
 # Kernel-side cap on the blocked-Schur recursion (n <= MAX_N). The fit
 # path (`models/likelihood.py` / `ops/pallas_chol.py`) routes
 # n <= DISPATCH_N_CAP here — the regime with measured on-chip parity +
-# latency wins; DISPATCH_N_CAP < n <= MAX_N is callable directly
-# (hardware-validate before widening the dispatch: interpret-mode
-# equality does NOT rule out a Mosaic miscompile, see
-# `_chol_quad_core_slabs`'s history — scripts/verify_multitile_tpu.py).
+# latency wins. Hardware validation at n=600/768/1024 (round 3,
+# scripts/verify_multitile_tpu.py + verify_multitile_oracle.py +
+# time_multitile_tpu.py): all sizes finite on chip, kernel MORE accurate
+# than the XLA bordered path vs a CPU-f64 oracle on every quadratic, and
+# ~3x faster (0.215/0.246/0.330 ms/eval vs XLA 0.664/0.727/0.999, K=4),
+# so the dispatch runs to MAX_N. (Interpret-mode equality alone does NOT
+# rule out a Mosaic miscompile — see `_chol_quad_core_slabs`'s history —
+# hence the on-chip gate before each widening.)
 MAX_TILES = 8
 MAX_N = MAX_TILES * TILE
-DISPATCH_N_CAP = 4 * TILE
+DISPATCH_N_CAP = MAX_N
 
 
 def _make_kernel(n: int):
