@@ -53,20 +53,25 @@ def run_study(
     jitter: float = 0.0,
     on_unconverged: str = "warn",     # 'warn' | 'raise' | 'ignore'
     single_variant: str = "reference",  # 'reference' (1-D) | 'mlegp' (>=2-D)
+    single_fit=None,                  # precomputed mlegp/kriging fit to reuse
 ) -> StudyResult:
     if on_unconverged not in ("warn", "raise", "ignore"):
         raise ValueError(on_unconverged)
     k_fit, k_pred, k_cgp, k_single = jax.random.split(key, 4)
 
-    kfit = None
-    if single_variant == "mlegp":
+    kfit = single_fit
+    if (single_variant == "mlegp" and kfit is None
+            and (sigma2 is None or run_single)):
         # the >=2-D scripts take BOTH the sigma^2 plug-in and the single-GP
         # baseline from one mlegp fit (`2D...Isotropic Public.R:743-744`,
-        # `Ground Vibrations...R:720-721`): fit it once, reuse below
+        # `Ground Vibrations...R:720-721`): fit it once, reuse below.
+        # Callers that already fitted one (e.g. the heat-exchanger EB
+        # path) pass it via single_fit instead of paying a second
+        # multistart; skipped entirely when neither consumer needs it.
         fam = mle_family or spec.kernel1
         kfit = mlegp_fit(fam, x, y, k_single, jitter=jitter)
-        if sigma2 is None:
-            sigma2 = kfit.sigma2
+    if single_variant == "mlegp" and sigma2 is None:
+        sigma2 = kfit.sigma2
 
     fit = fit_combined_gp(spec, x, y, k_fit, mcmc=mcmc,
                           theta1_prior=theta1_prior,

@@ -44,6 +44,7 @@ def run(cfg: Config = Config(), key=None, dtype=jnp.float64) -> StudyResult:
     spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(), dim=4)
     t1, t2 = cfg.theta1_pars, cfg.theta2_pars
     sigma2 = None
+    mle = None
     if cfg.eb_search:
         mle = mlegp_fit(kernels.sqexp_family(), x, y, k_eb)
         grid = load_hyperpars_grid("heat")
@@ -57,4 +58,4 @@ def run(cfg: Config = Config(), key=None, dtype=jnp.float64) -> StudyResult:
                      theta1_prior=InverseGamma(*t1),
                      theta2_prior=InverseGamma(*t2), alpha=cfg.alpha,
                      sigma2=sigma2, mle_ard=cfg.mle_ard,
-                     single_variant="mlegp")
+                     single_variant="mlegp", single_fit=mle)

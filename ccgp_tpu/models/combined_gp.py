@@ -112,17 +112,21 @@ def fit_combined_gp(
                 and jax.default_backend() == "tpu"
                 and mcmc.record == "accepted"):
             # CHUNKED multi-round driver (20 rounds per launch, chain
-            # identical to the one-round bodies). n <= 128: one Pallas
-            # kernel per chunk with candidate transform/priors in-kernel
-            # AND the per-record prediction factors [L | L^-1 y | L^-1 1]
-            # stashed as free factorization byproducts (deletes the
-            # ~10 ms/1000-draw posterior factor-cache rebuild);
-            # 128 < n <= 512: the multi-tile blocked-Schur kernel (no
-            # stash — its factor byproducts are partial), factor cache
-            # rebuilt the classic way; n > 512: the driver's XLA scan
-            # fallback (still ~20 rounds per dispatch vs one) — same
-            # records in every regime.
-            use_stash = n_train <= 128
+            # identical to the one-round bodies). n <= 128 with K <= 16:
+            # one Pallas kernel per chunk with candidate transform/priors
+            # in-kernel AND the per-record prediction factors
+            # [L | L^-1 y | L^-1 1] stashed as free factorization
+            # byproducts (deletes the ~10 ms/1000-draw posterior
+            # factor-cache rebuild); beyond that but inside the
+            # `dispatch_ok` envelope (n <= 1024, K*tiles^2 <= 256): the
+            # multi-tile blocked-Schur kernel (no stash — its factor
+            # byproducts are partial), factor cache rebuilt the classic
+            # way; outside the envelope: the driver's XLA scan fallback
+            # (still ~20 rounds per dispatch vs one) — same records in
+            # every regime. The stash gate must mirror make_mh_rounds'
+            # fused-kernel condition: stash=True on the XLA fallback is
+            # a ValueError (the fallback emits no stash).
+            use_stash = n_train <= 128 and mcmc.speculative <= 16
             stash_rows = (-(-(n_train + 2) // 8) * 8) if use_stash else None
             rounds_fn = make_mh_rounds(spec, x, y, s2,
                                        theta1_prior=theta1_prior,

@@ -266,7 +266,8 @@ def make_mh_rounds(
     f(z, lp_val, lp_beta, deltas (R*K, dim), log_u (R, K)) -> dict (see
     `ops.pallas_chol_smallk.fused_mix_mh_rounds`).
 
-    On TPU for SE/SE mixtures (n <= 128, or n <= 512 without stash via
+    On TPU for SE/SE mixtures (n <= 128, or without stash any (n, K)
+    inside `pallas_chol_smallk.dispatch_ok`'s envelope — n <= 1024 via
     the multi-tile blocked Schur core) the R rounds run as ONE Pallas
     kernel with the candidate transform, priors and Jacobians evaluated
     IN-KERNEL via the lane-space closure below — the per-round XLA
@@ -291,7 +292,6 @@ def make_mh_rounds(
                                   theta1_prior=theta1_prior,
                                   theta2_prior=theta2_prior,
                                   p_prior=p_prior, jitter=jitter)
-    dim = (spec.dim + 2) if spec.anisotropic else 3
 
     def cand_model(cz, iilane, s2sc):
         """Lane-space `unpack` + priors: cz (K, 1, tile) with the
@@ -359,24 +359,34 @@ def make_mh_rounds(
 
     def mh_rounds(z, lp_val, lp_beta, deltas, log_u):
         rr, kk = log_u.shape
-        # 128 < n <= DISPATCH_N_CAP runs the blocked multi-tile Schur
-        # core; its factor byproducts are partial, so stash stays
-        # single-tile
-        from ccgp_tpu.ops.pallas_chol_smallk import DISPATCH_N_CAP
-        n_cap = 128 if stash else DISPATCH_N_CAP
+        # 128 < n runs the blocked multi-tile Schur core up to the
+        # dispatch envelope (dispatch_ok: n <= 1024, K <= 16,
+        # K*tiles^2 <= 256); its factor byproducts are partial, so stash
+        # stays single-tile
+        from ccgp_tpu.ops.pallas_chol_smallk import dispatch_ok
+        n = x.shape[-2]
         if (se_mix and jax.default_backend() == "tpu"
-                and x.shape[-2] <= n_cap and kk <= 16):
+                and dispatch_ok(n, kk) and (n <= 128 or not stash)):
             from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds
 
             return fused_mix_mh_rounds(x, y, z, lp_val, lp_beta, sigma2,
                                        deltas, log_u, cand_model,
                                        jitter=jitter, stash=stash)
+        if stash:
+            # The stash contract (an extra 'stash' output the caller
+            # lands into its slab) is only implemented by the fused
+            # kernel; silently returning a stash-less dict would crash
+            # the caller with an opaque KeyError at trace time.
+            raise ValueError(
+                f"make_mh_rounds(stash=True) requires the fused TPU "
+                f"kernel path (SE/SE mixture, n <= 128, K <= 16); got "
+                f"n={n}, K={kk}, backend={jax.default_backend()!r}")
 
         # XLA fallback: identical chain, scan over rounds
         dt = z.dtype
 
         def step(carry, rk):
-            zc, lpv, lpb, slot = carry
+            zc, lpv, lpb = carry
             drow, lu = rk
             cands = zc[None, :] + drow
             vals, betas = lp_batch(cands)
@@ -388,12 +398,11 @@ def make_mh_rounds(
             v_n = jnp.where(any_acc, vals[first], lpv)
             b_n = jnp.where(any_acc, betas[first], lpb)
             row = jnp.concatenate([z_n, b_n[None], v_n[None]])
-            out = (row, any_acc, consumed, slot)
-            slot = slot + any_acc.astype(slot.dtype)
-            return (z_n, v_n, b_n, slot), out
+            out = (row, any_acc, consumed)
+            return (z_n, v_n, b_n), out
 
-        (zf, vf, bf, _), (rows, accs, cons, _) = jax.lax.scan(
-            step, (z, lp_val, lp_beta, jnp.asarray(0)),
+        (zf, vf, bf), (rows, accs, cons) = jax.lax.scan(
+            step, (z, lp_val, lp_beta),
             (deltas.reshape(rr, kk, -1), log_u))
         # per-round post-state rows, matching the kernel's contract (row r
         # repeats the previous state when round r rejected)

@@ -249,12 +249,14 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
     simultaneously, fully unrolled) cuts the speculative-Metropolis
     round by ~2x vs the XLA path (bench.py full-Bayes 168 -> 90 ms).
     Default (use_pallas=None) on TPU: batches >= 64 with n <= 128 ->
-    lanes kernel; batches <= 16 with n <= 512 -> small-K kernel (n in
-    (128, 512] rides its multi-tile blocked-Schur core, measured 137.5
-    vs 166.3 us per K=4 eval against the XLA bordered path at n=256 and
-    0.14-0.43 vs 0.6-0.8 ms at n=300-512,
-    scripts/bench_multitile_smallk.py); else XLA — always XLA on other
-    backends. use_pallas=True forces this module's per-matrix kernel
+    lanes kernel; small batches inside the small-K envelope
+    (`pallas_chol_smallk.dispatch_ok`: K <= 16, n <= 1024, K*tiles^2 <=
+    256) -> small-K kernel (n in (128, 1024] rides its multi-tile
+    blocked-Schur core, measured 137.5 vs 166.3 us per K=4 eval against
+    the XLA bordered path at n=256, 0.14-0.43 vs 0.6-0.8 ms at
+    n=300-512, and 0.215/0.246/0.330 vs 0.664/0.727/0.999 ms at
+    n=600/768/1024 — scripts/bench_multitile_smallk.py,
+    time_multitile_tpu.py); else XLA — always XLA on other backends. use_pallas=True forces this module's per-matrix kernel
     (kept as a tested exploration baseline).
     """
     if use_pallas is None:
@@ -265,9 +267,9 @@ def chol_quadratics(grams: jnp.ndarray, y: jnp.ndarray,
             return chol_quadratics_lanes(grams, y, jitter=jitter)
         if jax.default_backend() == "tpu" and grams.shape[0] <= 16:
             from ccgp_tpu.ops.pallas_chol_smallk import (
-                DISPATCH_N_CAP, chol_quadratics_smallk)
+                chol_quadratics_smallk, dispatch_ok)
 
-            if grams.shape[1] <= DISPATCH_N_CAP:
+            if dispatch_ok(grams.shape[1], grams.shape[0]):
                 return chol_quadratics_smallk(grams, y, jitter=jitter)
         use_pallas = False
     b, n, _ = grams.shape

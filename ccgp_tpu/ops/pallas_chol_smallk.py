@@ -65,6 +65,22 @@ TILE = 128
 MAX_TILES = 8
 MAX_N = MAX_TILES * TILE
 DISPATCH_N_CAP = MAX_N
+# Hardware-validated VMEM envelope for the dispatch: K * tiles^2 budget
+# units. K=4 at n=1024 (4 * 64 = 256) ran on chip; K=16 at n=512
+# (16 * 16 = 256) is the widest small-n batch the dispatch has ever
+# routed. Beyond the envelope the kernel working set (~K * n^2 floats
+# plus scratch) can exceed the ~100 MB VMEM kernel limit, which fails
+# hard in Mosaic rather than falling back — so the dispatch must bound
+# it, not discover it.
+DISPATCH_BUDGET = 256
+
+
+def dispatch_ok(n: int, k: int) -> bool:
+    """True when (n, K) is inside the small-K kernels' validated
+    dispatch envelope (callers fall back to XLA otherwise)."""
+    tiles = -(-n // TILE)
+    return (n <= DISPATCH_N_CAP and k <= 16
+            and k * tiles * tiles <= DISPATCH_BUDGET)
 
 
 def _make_kernel(n: int):

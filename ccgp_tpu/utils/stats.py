@@ -114,7 +114,11 @@ def masked_quantile_pair(x: jnp.ndarray, valid: jnp.ndarray,
             ihi = jnp.clip(m - 1 - hi, 0, k_hi - 1)
             xlo = jnp.take_along_axis(top, ilo[..., None], -1)
             xhi = jnp.take_along_axis(top, ihi[..., None], -1)
-        return (xlo + frac[..., None] * (xhi - xlo)).squeeze(-1)
+        val = (xlo + frac[..., None] * (xhi - xlo)).squeeze(-1)
+        # all-invalid row: the 'hi' selection buffer is -big filled
+        # (selected descending), which would invert the interval; the
+        # sort path returns +big for both endpoints — match it.
+        return jnp.where(m == 0, big, val)
 
     return interp_tail(q_lo, "lo"), interp_tail(q_hi, "hi")
 
