@@ -319,3 +319,19 @@ def test_rounds_kernel_two_tile_interpret_matches_fallback():
     assert np.allclose(np.asarray(ref["z_fin"]), np.asarray(out["z_fin"]),
                        rtol=1e-6, atol=1e-6)
     assert "stash" not in out
+
+
+def test_stash_requires_fused_kernel_path(problem):
+    """make_mh_rounds(stash=True) off the fused TPU path must raise a
+    clear ValueError at call time (the XLA fallback emits no stash;
+    before the round-3 fix this surfaced as an opaque trace-time
+    KeyError in the chunked driver)."""
+    spec, x, y, s2, _, _, _, kw = problem
+    rng = np.random.default_rng(3)
+    R, K, dim = 2, 4, 4
+    z = jnp.zeros(dim)
+    deltas = jnp.asarray(0.1 * rng.normal(size=(R * K, dim)))
+    log_u = jnp.asarray(np.log(rng.uniform(size=(R, K))))
+    fn = make_mh_rounds(spec, x, y, s2, stash=True, **kw)  # CPU backend
+    with pytest.raises(ValueError, match="fused TPU kernel"):
+        fn(z, jnp.asarray(-1.0), jnp.asarray(0.0), deltas, log_u)

@@ -404,3 +404,23 @@ def test_smallk_three_tile_interpret_matches_xla(rng):
     for k in qx:
         assert np.allclose(np.asarray(qx[k]), np.asarray(qs[k]),
                            rtol=1e-6), k
+
+def test_smallk_dispatch_envelope():
+    """dispatch_ok bounds the small-K kernel routing to the
+    hardware-validated VMEM envelope: n <= 1024, K <= 16, and
+    K * tiles^2 <= 256 budget units (K=4 @ n=1024 and K=16 @ n=512 are
+    the widest on-chip-validated corners)."""
+    from ccgp_tpu.ops.pallas_chol_smallk import (
+        DISPATCH_BUDGET, DISPATCH_N_CAP, TILE, dispatch_ok)
+
+    assert dispatch_ok(100, 4) and dispatch_ok(128, 16)
+    assert dispatch_ok(512, 16)          # 16 * 4^2 = 256: at the budget
+    assert not dispatch_ok(513, 16)      # 16 * 5^2 = 400: over it
+    assert dispatch_ok(1024, 4)          # 4 * 8^2 = 256: at the budget
+    assert not dispatch_ok(1024, 5)
+    assert not dispatch_ok(DISPATCH_N_CAP + 1, 1)   # beyond the n cap
+    assert not dispatch_ok(64, 17)                  # beyond the K cap
+    # envelope formula self-consistency
+    for n, k in [(512, 16), (1024, 4)]:
+        tiles = -(-n // TILE)
+        assert k * tiles * tiles == DISPATCH_BUDGET

@@ -87,3 +87,25 @@ def test_masked_quantile_pair_topk_equals_sort():
             x, valid)
         assert np.array_equal(np.asarray(lo1), np.asarray(lo2)), (q_lo, q_hi)
         assert np.array_equal(np.asarray(hi1), np.asarray(hi2)), (q_lo, q_hi)
+
+def test_masked_quantile_pair_all_invalid_row():
+    """An all-invalid row must return +big at BOTH endpoints on the
+    top_k tail path (matching the sort path); before the round-3 fix the
+    'hi' tail read its -big-filled selection buffer and inverted the
+    interval."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccgp_tpu.utils import stats
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(4, 300)))
+    valid = jnp.ones((4, 300), bool).at[2].set(False)
+    lo, hi = stats.masked_quantile_pair(x, valid, 0.025, 0.975)
+    lo1 = jax.vmap(lambda c, v: stats.masked_quantile(c, v, 0.025))(x, valid)
+    hi1 = jax.vmap(lambda c, v: stats.masked_quantile(c, v, 0.975))(x, valid)
+    assert np.array_equal(np.asarray(lo), np.asarray(lo1))
+    assert np.array_equal(np.asarray(hi), np.asarray(hi1))
+    assert float(lo[2]) == float(hi[2]) and float(lo[2]) > 1e30
+    ok = np.asarray(valid.any(-1))
+    assert np.all(np.asarray(lo)[ok] <= np.asarray(hi)[ok])
