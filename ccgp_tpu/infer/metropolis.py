@@ -35,6 +35,13 @@ import jax.numpy as jnp
 
 from ccgp_tpu.infer.geweke import geweke_pvalue
 from ccgp_tpu.infer.laplace import laplace, LaplaceFit
+from ccgp_tpu.ops.pallas_rng import (split_chain_supported,
+                                     threefry_split_chain)
+
+# debug escape: False forces the chunked driver's per-round key chain back
+# to the unrolled XLA scan even on TPU (the two are bit-identical —
+# tests/test_pallas_rng.py, scripts/verify_split_chain_tpu.py)
+SPLIT_CHAIN_KERNEL = True
 
 
 class MetropolisResult(NamedTuple):
@@ -298,6 +305,23 @@ def metropolis(
             k, k1, k2 = jax.random.split(k, 3)
             return k, (k1, k2)
 
+        # the per-chunk SEQUENTIAL key-split chain: as an unrolled XLA
+        # scan it lowers to ~rr small non-fused fusions (~250-450 us per
+        # 120-round chunk, most of the loop's remaining non-kernel time);
+        # on TPU with raw threefry keys the identical chain runs as ONE
+        # Pallas launch (ops/pallas_rng.py, bit-exact — integer equality
+        # tested per-backend, and the bench's pinned chain replays)
+        use_split_kernel = (SPLIT_CHAIN_KERNEL
+                            and jax.default_backend() == "tpu"
+                            and split_chain_supported(key))
+
+        def chunk_keys(k, rr: int):
+            if use_split_kernel:
+                return threefry_split_chain(k, rr)
+            k, (k1s, k2s) = jax.lax.scan(rng_step, k, None, length=rr,
+                                         unroll=True)
+            return k, k1s, k2s
+
         def make_body(rr: int, check: bool):
             """Chunk body for rr rounds; check=False elides the Geweke
             conditional entirely (legal only while no round of the chunk
@@ -308,12 +332,7 @@ def metropolis(
                 # chunk RNG: the EXACT per-round stream (sequential key
                 # splits via scan, then batched generation per round key —
                 # values identical to the one-round bodies')
-                # unroll: the 20-step sequential key-split scan costs
-                # ~60 us per chunk as a rolled while loop (profiler:
-                # while.232 + 2160 threefry fusions ~ 6-8 ms of the 50 ms
-                # fit); straight-line threefry chains fuse to ~1/4 of that
-                key, (k1s, k2s) = jax.lax.scan(rng_step, key, None,
-                                               length=rr, unroll=True)
+                key, k1s, k2s = chunk_keys(key, rr)
                 eps = jax.vmap(
                     lambda k1: jax.random.normal(k1, (K, dim), dtype))(k1s)
                 log_u = jax.vmap(lambda k2: jnp.log(
