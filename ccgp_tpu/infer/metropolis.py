@@ -397,21 +397,32 @@ def metropolis(
             return ((k_rec < n_max) & (pv < alpha_geweke)
                     & (n_prop < max_proposals))
 
-        def cond_warm(state):
-            key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
-            # max record position a warm chunk can reach is k_rec + RW:
-            # strictly below samp_size means NO check boundary is
-            # reachable, so eliding the Geweke conditional cannot change
-            # the chain
-            return ((k_rec + RW < samp_size) & (k_rec < n_max)
-                    & (pv < alpha_geweke) & (n_prop < max_proposals))
+        def cond_free(rr: int):
+            # max record position an rr-round chunk can reach is
+            # k_rec + rr: strictly below samp_size means NO check boundary
+            # is reachable, so eliding the Geweke conditional cannot
+            # change the chain
+            def cond(state):
+                key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
+                return ((k_rec + rr < samp_size) & (k_rec < n_max)
+                        & (pv < alpha_geweke) & (n_prop < max_proposals))
+
+            return cond
 
         init_c = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
                   z0, lp0.val, lp0.beta, Pc0, jnp.asarray(0.0, dtype), ST0)
-        warm = jax.lax.while_loop(cond_warm, make_body(RW, check=False),
+        # three phases, all over the SAME per-round stream (chunk size and
+        # check elision never change which rounds run — only how they are
+        # batched): check-free 120-round warm chunks, then check-free
+        # 20-round chunks up to the last boundary-free window, then the
+        # check-aware tail
+        warm = jax.lax.while_loop(cond_free(RW), make_body(RW, check=False),
                                   init_c)
+        mid = (jax.lax.while_loop(cond_free(RR), make_body(RR, check=False),
+                                  warm)
+               if RR < RW else warm)
         (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv, ST) = (
-            jax.lax.while_loop(cond_c, make_body(RR, check=True), warm)
+            jax.lax.while_loop(cond_c, make_body(RR, check=True), mid)
         )
         row_ids = jnp.arange(n_max)
         recorded = row_ids < k_rec

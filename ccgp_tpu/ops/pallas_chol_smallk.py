@@ -125,7 +125,7 @@ def _chol_quad_core_blocked(m, ry, ro, n: int, kk: int, dtype):
     rank-1 unrolled core's 45.7 ms, plus a ~10 min Mosaic compile — the
     13 small HIGHEST-precision MXU dots cost more latency than the
     full-matrix passes they replace. Kept as a tested exploration
-    baseline; `_CORE` stays on the rank-1 core.
+    baseline; `_SINGLE_CORE` stays off it.
     """
     tile = m.shape[-1]
     iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
@@ -185,7 +185,7 @@ def _chol_quad_core_slabs(m, ry, ro, n: int, kk: int, dtype):
     on the chip — every candidate log-posterior comes back NaN (zero MH
     acceptances at n=100; suspect the 8-row sublane-masked pivot reduce
     over slab values) — and kernel compiles degrade to >20 minutes even
-    at n=32. `_CORE` stays on the rank-1 core until the Mosaic issues are
+    at n=32. `_SINGLE_CORE` stays off it until the Mosaic issues are
     fixed upstream; do not enable without re-verifying the pinned bench
     chain (1060 recorded / 6746 proposals) on hardware.
     """
@@ -291,12 +291,60 @@ def _chol_quad_core(m, ry, ro, n: int, kk: int, dtype):
     return ld, qyy, qoy, qoo, m, wy, wo
 
 
-# active core for all kernels (see the cores' docstrings for the measured
-# formulation notes). The slab core stays OFF: despite CPU-interpret
-# bit-identity it MISCOMPILES on v5e Mosaic (silently: every candidate's
-# log-posterior NaNs -> zero acceptances at n=100) and drives remote
-# kernel compiles into a >20-minute pathological path even at n=32.
-_CORE = _chol_quad_core
+def _chol_quad_core_rowslab(m, ry, ro, n: int, kk: int, dtype):
+    """Rank-1 core with a SLAB pivot-row read: bit-identical arithmetic
+    to `_chol_quad_core`, but the per-step pivot-row extraction reads the
+    tile-aligned 8-row slab holding row j (a static sublane slice — the
+    blocked core proved these lower cleanly on v5e, unlike the sub-tile
+    1-row slices that sent Mosaic compiles to 174 s) and masks within it,
+    instead of masked-reducing the FULL (K, ns, tile) matrix. That cuts
+    one of the ~3 full-matrix passes per step; the column extraction
+    (crow) and the rank-1 update are irreducibly full-width. Requires a
+    static pivot index, hence a Python loop — single-tile (n <= 128)
+    only, like the full unroll it replaces.
+
+    Bit-exactness vs `_chol_quad_core`: both extractions sum exactly one
+    nonzero term (adding f32 zeros is exact), every other op is
+    unchanged and in the same order — so outputs are bit-identical and
+    the pinned bench chain replays (tests/test_pallas_chol.py asserts
+    integer-level equality in interpret mode; the on-chip gate is
+    scripts/verify_rowslab_tpu.py).
+    """
+    ns, tile = m.shape[1], m.shape[-1]
+    iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, ns, 1), 1)
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (kk, min(8, ns), 1), 1)
+
+    ld = jnp.zeros((kk, 1, 1), dtype)
+    wy = jnp.zeros((kk, 1, tile), dtype)
+    wo = jnp.zeros((kk, 1, tile), dtype)
+    for j in range(n):
+        s0 = 8 * (j // 8)
+        slab = m[:, s0:min(s0 + 8, ns), :]              # aligned static read
+        clane = jnp.sum(jnp.where(i8[:, :slab.shape[1]] == (j - s0),
+                                  slab, 0.0), axis=1,
+                        keepdims=True)                  # (K, 1, N)
+        crow = jnp.sum(jnp.where(iilane == j, m, 0.0), axis=2,
+                       keepdims=True)                   # (K, N, 1)
+        d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                     keepdims=True)                     # (K, 1, 1)
+        dinv = jax.lax.rsqrt(d2)
+        ld = ld + jnp.log(d2)
+        lrow = jnp.where(iirow > j, crow, 0.0) * dinv   # (K, N, 1)
+        llane = jnp.where(iilane > j, clane, 0.0) * dinv
+        m = m - lrow * llane
+        rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                      keepdims=True) * dinv             # (K, 1, 1)
+        rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                      keepdims=True) * dinv
+        wy = jnp.where(iilane == j, rjy, wy)
+        wo = jnp.where(iilane == j, rjo, wo)
+        ry = ry - llane * rjy
+        ro = ro - llane * rjo
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+    return ld, qyy, qoy, qoo, m, wy, wo
 
 
 def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
@@ -352,9 +400,15 @@ def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
     wy = jnp.zeros((kk, 1, tile), dtype)
     wo = jnp.zeros((kk, 1, tile), dtype)
     dinvcol = jnp.zeros((kk, t1, 1), dtype)
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (kk, 8, 1), 1)
     for j in range(t1):
-        clane = jnp.sum(jnp.where(iirow1 == j, m1, 0.0), axis=1,
-                        keepdims=True)                  # (K, 1, tile)
+        # pivot-row read from the tile-aligned 8-row slab holding row j
+        # (NOT the full panel) — identical single-nonzero masked sum, so
+        # bit-identical to the full-panel reduce; see
+        # `_chol_quad_core_rowslab` for the formulation notes
+        s0 = 8 * (j // 8)
+        clane = jnp.sum(jnp.where(i8 == (j - s0), m1[:, s0:s0 + 8, :], 0.0),
+                        axis=1, keepdims=True)          # (K, 1, tile)
         crow = jnp.sum(jnp.where(iilane == j, m1, 0.0), axis=2,
                        keepdims=True)                   # (K, 128, 1)
         d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
@@ -388,9 +442,22 @@ def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
     return (ld + ld2, qyy + qyy2, qoy + qoy2, qoo + qoo2, m1, wy, wo)
 
 
+# active single-tile core, used by every kernel directly and as the
+# multitile recursion's base case (see the cores' docstrings for the
+# measured formulation notes; the list-of-slabs core stays OFF — despite
+# CPU-interpret bit-identity it MISCOMPILES on v5e Mosaic, silently NaNing
+# every candidate log-posterior, and drives remote compiles >20 min even
+# at n=32). Module-level so the on-chip gate script can A/B formulations;
+# flipping it between traces of the SAME jitted callable is unsupported
+# (the jit cache keys on neither). Default: the rowslab core — on-chip
+# BIT-identical to the rank-1 core at n=7/100/200 and ~18% faster at the
+# bench shape (scripts/verify_rowslab_tpu.py, v5e).
+_SINGLE_CORE = _chol_quad_core_rowslab
+
+
 def _core_for(tile: int):
     """Select the factorization core by static working-set width."""
-    return _chol_quad_core if tile <= TILE else _chol_quad_core_multitile
+    return _SINGLE_CORE if tile <= TILE else _chol_quad_core_multitile
 
 
 def chol_quadratics_smallk(grams: jnp.ndarray, y: jnp.ndarray,
@@ -744,14 +811,14 @@ def _make_mh_rounds_kernel(n: int, ndim: int, dim: int, kk: int,
     prior/Jacobian terms (`cand_model`, a closure of plain jnp ops —
     measured bit-exact between Mosaic and XLA lowering for
     exp/log/sigmoid/rsqrt on v5e), the SE-mixture Gram, the K-candidate
-    factorization + quadratics (`_CORE`), log-posterior assembly, the MH
+    factorization + quadratics (`_SINGLE_CORE`), log-posterior assembly, the MH
     first-acceptance scan, and the state update. Outputs are PER-ROUND
     post-state rows (so row R-1 is the carry-out state) plus acc/consumed
     flags; the caller scatters accepted rows into its record buffer.
 
     With stash=True each round also emits its accepted candidate's
     prediction factor [L | L^{-1}y at row n | L^{-1}1 at row n+1] — free
-    byproducts of `_CORE` (the final downdated matrix's columns are
+    byproducts of `_SINGLE_CORE` (the final downdated matrix's columns are
     d_j^{1/2} L[:, j]) — eliminating the posterior factor-cache rebuild
     (~10 ms / 1000 draws via the lanes kernel) from the predict stage.
     """

@@ -424,3 +424,24 @@ def test_smallk_dispatch_envelope():
     for n, k in [(512, 16), (1024, 4)]:
         tiles = -(-n // TILE)
         assert k * tiles * tiles == DISPATCH_BUDGET
+
+
+def test_rowslab_core_bit_identical(rng, monkeypatch):
+    """The rowslab single-tile core computes every value with identical
+    arithmetic to the rank-1 core (the slab pivot-row read sums the same
+    single nonzero term), so outputs must be BIT-identical — here in
+    interpret mode at one-tile and multitile (recursion base) sizes; the
+    on-chip gate is scripts/verify_rowslab_tpu.py."""
+    import ccgp_tpu.ops.pallas_chol_smallk as smallk
+
+    for n in (7, 40, 100, 200):
+        grams, y = _batch(rng, b=4, n=n)
+        monkeypatch.setattr(smallk, "_SINGLE_CORE", smallk._chol_quad_core)
+        qa = smallk.chol_quadratics_smallk(grams, y, jitter=1e-8,
+                                           interpret=True)
+        monkeypatch.setattr(smallk, "_SINGLE_CORE",
+                            smallk._chol_quad_core_rowslab)
+        qb = smallk.chol_quadratics_smallk(grams, y, jitter=1e-8,
+                                           interpret=True)
+        for k in qa:
+            assert np.array_equal(np.asarray(qa[k]), np.asarray(qb[k])), (n, k)
