@@ -39,18 +39,29 @@ def make_problem(n):
     return grams, y
 
 
-def slope_time(fn, args, iters=(5, 25)):
+def slope_time(fn, args, iters=(5, 25), reps=7):
+    """Min-over-reps fetch-closed slope: a single (k1, k2) pair (the
+    original protocol) is hostage to tunnel jitter — one slow dispatch
+    batch produced NEGATIVE and 10x-off slopes on 2026-08-18, when a
+    service-side slowdown pushed a trivial matmul+fetch to 175 s.
+    Sanity-check the tunnel (one small matmul should fetch in < 1 s
+    steady-state) before believing any number from this script."""
     f = jax.jit(fn)
     out = f(*args)
     _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    times = []
-    for k in iters:
-        t0 = time.time()
+
+    def batch(k):
+        t0 = time.perf_counter()
+        o = None
         for _ in range(k):
-            out = f(*args)
-        _ = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        times.append(time.time() - t0)
-    return (times[1] - times[0]) / (iters[1] - iters[0])
+            o = f(*args)
+        float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+        return time.perf_counter() - t0
+
+    batch(1)
+    t1 = min(batch(iters[0]) for _ in range(reps))
+    t2 = min(batch(iters[1]) for _ in range(reps))
+    return (t2 - t1) / (iters[1] - iters[0])
 
 
 for n in SIZES:
