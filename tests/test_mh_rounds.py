@@ -335,3 +335,20 @@ def test_stash_requires_fused_kernel_path(problem):
     fn = make_mh_rounds(spec, x, y, s2, stash=True, **kw)  # CPU backend
     with pytest.raises(ValueError, match="fused TPU kernel"):
         fn(z, jnp.asarray(-1.0), jnp.asarray(0.0), deltas, log_u)
+
+
+def test_mid_phase_equal_chunk_sizes(problem):
+    # rounds_per_call == rounds_per_call_warm elides the mid loop (the
+    # `RR < RW` guard): the driver must still be draw-identical to the
+    # one-round body and to a config where the mid phase DOES run
+    _, _, _, _, lp, lpb, rounds, _ = problem
+    start = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(3)
+    kw = dict(n_max=400, samp_size=120, batch_size=20, alpha_geweke=0.5)
+    r1 = metropolis(lp, start, key, logpost_batch=lpb, speculative=4, **kw)
+    r2 = metropolis(lp, start, key, mh_rounds=rounds, rounds_per_call=24,
+                    rounds_per_call_warm=24, speculative=4, **kw)
+    r3 = metropolis(lp, start, key, mh_rounds=rounds, rounds_per_call=8,
+                    rounds_per_call_warm=96, speculative=4, **kw)
+    _assert_identical(r1, r2)
+    _assert_identical(r1, r3)
