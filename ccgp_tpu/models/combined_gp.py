@@ -17,7 +17,7 @@ draws, and multiple chains vmap.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, TYPE_CHECKING
 
 import jax
 import jax.numpy as jnp
@@ -29,10 +29,14 @@ from ccgp_tpu.models.likelihood import (
     make_logpost, make_logpost_batch, make_mh_round, make_mh_rounds)
 from ccgp_tpu.models.priors import InverseGamma
 from ccgp_tpu.ops.kernels import KernelFamily
-from ccgp_tpu.predict.factors import build_factors, FactorCache
-from ccgp_tpu.predict.posterior import (
-    predictive_moments, posterior_predict, PosteriorPrediction,
-)
+
+if TYPE_CHECKING:   # runtime imports are function-local: `predict` sits
+    # ABOVE `models` in the layering (CLAUDE.md), so a module-level import
+    # here is a cycle — `from ccgp_tpu.predict import ...` as a user's
+    # FIRST import used to die on the partially-initialized
+    # predict.factors this module pulled back in.
+    from ccgp_tpu.predict.factors import FactorCache
+    from ccgp_tpu.predict.posterior import PosteriorPrediction
 
 
 # routes TPU speculative sampling through the chunked multi-round Pallas
@@ -83,11 +87,19 @@ def fit_combined_gp(
     mle_ard: bool = False,
     jitter: float = 0.0,
     mle_method: str = "bfgs",    # 'bfgs' | 'grid' (scalar-rate, batched)
+    whiten: bool = False,
 ) -> CombinedGPFit:
     """Fit the combined GP. sigma2=None triggers the plug-in kriging MLE;
     mle_method='grid' uses the batched dense-grid profile-ML plug-in
     (one wide Cholesky sweep instead of a sequential BFGS chain — faster
-    on TPU, scalar rate only)."""
+    on TPU, scalar rate only).
+
+    whiten=True switches every log-posterior evaluation to the
+    cancellation-free whitened quadratic (see `make_logpost`): for f32
+    chains at n >= 768 where the bordered qoy accumulation loses ~0.17
+    relative accuracy (DESIGN.md; oracle adjudication in
+    scripts/verify_whiten_oracle.py). Routes the sampler to the XLA
+    fallback (no fused kernel, no factor stash) — slower, so default off."""
     k_mle, k_mcmc = jax.random.split(key)
     family = mle_family or spec.kernel1
     if mle_method == "grid":
@@ -100,7 +112,7 @@ def fit_combined_gp(
 
     logpost = make_logpost(spec, x, y, s2, theta1_prior=theta1_prior,
                            theta2_prior=theta2_prior, p_prior=p_prior,
-                           jitter=jitter)
+                           jitter=jitter, whiten=whiten)
     round_fn = None
     rounds_fn = None
     stash_rows = None
@@ -126,13 +138,14 @@ def fit_combined_gp(
             # every regime. The stash gate must mirror make_mh_rounds'
             # fused-kernel condition: stash=True on the XLA fallback is
             # a ValueError (the fallback emits no stash).
-            use_stash = n_train <= 128 and mcmc.speculative <= 16
+            use_stash = (n_train <= 128 and mcmc.speculative <= 16
+                         and not whiten)
             stash_rows = (-(-(n_train + 2) // 8) * 8) if use_stash else None
             rounds_fn = make_mh_rounds(spec, x, y, s2,
                                        theta1_prior=theta1_prior,
                                        theta2_prior=theta2_prior,
                                        p_prior=p_prior, jitter=jitter,
-                                       stash=use_stash)
+                                       stash=use_stash, whiten=whiten)
         else:
             # whole-round evaluation: the K speculative candidates' Grams,
             # factorizations, log-posteriors and the MH first-acceptance
@@ -140,7 +153,8 @@ def fit_combined_gp(
             round_fn = make_mh_round(spec, x, y, s2,
                                      theta1_prior=theta1_prior,
                                      theta2_prior=theta2_prior,
-                                     p_prior=p_prior, jitter=jitter)
+                                     p_prior=p_prior, jitter=jitter,
+                                     whiten=whiten)
     res = metropolis(logpost, jnp.asarray(mcmc.start, x.dtype), k_mcmc,
                      n_max=mcmc.n_max, samp_size=mcmc.samp_size,
                      batch_size=mcmc.batch_size,
@@ -149,6 +163,8 @@ def fit_combined_gp(
                      speculative=mcmc.speculative,
                      mh_round=round_fn, mh_rounds=rounds_fn,
                      stash_rows=stash_rows)
+    from ccgp_tpu.predict.factors import FactorCache, build_factors
+
     zs_all, betas_all, _ = res.retained(mcmc.samp_size)
     # reference keeps the last net_samp_size of the samp_size window
     # (`1D...Public.R:755,777`)
@@ -186,6 +202,9 @@ def predict_combined_gp(
     normalized_cross: bool = True,
     drop_negative_var: bool = True,
 ) -> PosteriorPrediction:
+    from ccgp_tpu.predict.posterior import (
+        posterior_predict, predictive_moments)
+
     dm, dv = predictive_moments(spec, fit.cache, x, x_new, fit.sigma2,
                                 var_scale=var_scale,
                                 normalized_cross=normalized_cross)
