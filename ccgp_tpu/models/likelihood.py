@@ -45,6 +45,7 @@ def make_logpost(
     theta2_prior=None,
     p_prior=None,
     jitter: float = 0.0,
+    whiten: bool = False,
 ):
     """Build logpost(z) for unconstrained z, closing over data and priors.
 
@@ -53,6 +54,16 @@ def make_logpost(
       anisotropic theta1 priors apply elementwise (the reference uses iid
       per-axis lognormals, `2D...Anisotropic Public.R:462`).
     * p_prior defaults to flat on (0,1).
+    * whiten=True computes the Gaussian quadratic form by whitening the
+      centered residual explicitly — one extra triangular solve of
+      y - beta*1 — instead of the bordered identity qyy - qoy^2/qoo.
+      The bordered form subtracts two large near-equal sums, which in f32
+      at n >= 768 loses ~0.17 relative digits of quad to cancellation
+      (DESIGN.md; adjudicated vs a CPU-f64 oracle in
+      scripts/verify_whiten_oracle.py); the whitened form squares a
+      residual that is computed BEFORE it becomes small, so it keeps full
+      relative accuracy. Default off: at the bench sizes (n <= 512 f32)
+      the bordered path is exact enough and one solve cheaper.
     """
     y = jnp.asarray(y)
     n = y.shape[-1]
@@ -71,7 +82,11 @@ def make_logpost(
         q = linalg.bordered_cholesky_quadratics(r, y, jitter)
         chol = q["chol"]
         beta = q["qoy"] / q["qoo"]
-        quad = q["qyy"] - q["qoy"] ** 2 / q["qoo"]
+        if whiten:
+            w = linalg.tri_solve(chol, y - beta)
+            quad = jnp.sum(w * w, axis=-1)
+        else:
+            quad = q["qyy"] - q["qoy"] ** 2 / q["qoo"]
         _, _, s = mix_weights(params.p)
         log_scale = jnp.log(s * sigma2)
         loglike = -0.5 * (n * log2pi + q["logdet"] + n * log_scale
@@ -105,8 +120,15 @@ def make_logpost_batch(
     theta2_prior=None,
     p_prior=None,
     jitter: float = 0.0,
+    whiten: bool = False,
 ):
     """Batched sibling of `make_logpost`: f(Z (K, dim)) -> (vals, betas).
+
+    whiten=True (see `make_logpost`): the cancellation-free whitened
+    quadratic — batched explicit factorization + triangular solves instead
+    of the quadratics kernels (which accumulate the same bordered sums
+    in-register). For f32 chains at n >= 768 where qoy cancellation costs
+    ~0.17 relative; slower, so default off.
 
     Same math, but the K Gram factorizations go through the
     `chol_quadratics` dispatcher as ONE explicit batch instead of a vmap of
@@ -133,7 +155,26 @@ def make_logpost_batch(
     def logpost_batch(zs: jnp.ndarray):
         params, log_jac = jax.vmap(lambda z: unpack(spec, z))(zs)
         kk = zs.shape[0]
-        if (se_mix and jax.default_backend() == "tpu"
+        if whiten:
+            # cancellation-free path: explicit batched factorization +
+            # whitened residual (the quadratics kernels accumulate the
+            # same bordered sums the default path subtracts, so opting
+            # out of cancellation means opting out of them too)
+            r = jax.vmap(lambda p: mixed_gram(spec, x, p))(params)
+            chol = linalg.jitter_cholesky(r, jitter)
+            wy = linalg.tri_solve(chol, jnp.broadcast_to(y, (kk, n)))
+            wo = linalg.tri_solve(chol, jnp.ones((kk, n), y.dtype))
+            beta = jnp.sum(wo * wy, axis=-1) / jnp.sum(wo * wo, axis=-1)
+            # center BEFORE whitening (third solve): `wy - beta*wo`
+            # subtracts two large near-equal whitened vectors and loses
+            # the same digits the bordered form does — centering y in the
+            # original space first keeps the residual O(signal) before any
+            # large value is formed (oracle-measured 7x at y-offset 1000,
+            # scripts/verify_whiten_oracle.py)
+            w = linalg.tri_solve(chol, y[None, :] - beta[:, None])
+            quad = jnp.sum(w * w, axis=-1)
+            logdet = linalg.chol_logdet(chol)
+        elif (se_mix and jax.default_backend() == "tpu"
                 and x.shape[-2] <= 256 and kk <= 16):
             # SE mixture: build the Gram INSIDE the latency kernel — the
             # per-axis sq-diff stack is a loop invariant, so each round
@@ -152,11 +193,13 @@ def make_logpost_batch(
             # dispatcher's absolute jitter equals make_logpost's
             # mean-diagonal-relative jitter exactly.
             q = chol_quadratics(r, y, jitter=jitter)
-        beta = q["qoy"] / q["qoo"]
-        quad = q["qyy"] - q["qoy"] ** 2 / q["qoo"]
+        if not whiten:
+            beta = q["qoy"] / q["qoo"]
+            quad = q["qyy"] - q["qoy"] ** 2 / q["qoo"]
+            logdet = q["logdet"]
         _, _, s = mix_weights(params.p)
         log_scale = jnp.log(s * sigma2)
-        loglike = -0.5 * (n * log2pi + q["logdet"] + n * log_scale
+        loglike = -0.5 * (n * log2pi + logdet + n * log_scale
                           + quad * jnp.exp(-log_scale))
 
         log_prior = jnp.zeros_like(loglike)
@@ -185,6 +228,7 @@ def make_mh_round(
     theta2_prior=None,
     p_prior=None,
     jitter: float = 0.0,
+    whiten: bool = False,
 ):
     """One WHOLE speculative Metropolis round as a single evaluation:
     f(z, lp_val, lp_beta, cands (K, dim), log_u (K,)) ->
@@ -209,7 +253,8 @@ def make_mh_round(
     lp_batch = make_logpost_batch(spec, x, y, sigma2,
                                   theta1_prior=theta1_prior,
                                   theta2_prior=theta2_prior,
-                                  p_prior=p_prior, jitter=jitter)
+                                  p_prior=p_prior, jitter=jitter,
+                                  whiten=whiten)
 
     def prior_terms(params, log_jac):
         log_prior = jnp.zeros_like(log_jac)
@@ -225,7 +270,10 @@ def make_mh_round(
 
     def mh_round(z, lp_val, lp_beta, cands, log_u):
         kk = cands.shape[0]
-        if (se_mix and jax.default_backend() == "tpu"
+        # whiten opts out of the fused kernel: its factorization core
+        # accumulates the bordered quadratics whose cancellation whiten
+        # exists to avoid (lp_batch carries the whitened math instead)
+        if (not whiten and se_mix and jax.default_backend() == "tpu"
                 and x.shape[-2] <= 256 and kk <= 16):
             from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_round
 
@@ -261,6 +309,7 @@ def make_mh_rounds(
     p_prior=None,
     jitter: float = 0.0,
     stash: bool = False,
+    whiten: bool = False,
 ):
     """R whole speculative Metropolis rounds per evaluation:
     f(z, lp_val, lp_beta, deltas (R*K, dim), log_u (R, K)) -> dict (see
@@ -291,7 +340,8 @@ def make_mh_rounds(
     lp_batch = make_logpost_batch(spec, x, y, sigma2,
                                   theta1_prior=theta1_prior,
                                   theta2_prior=theta2_prior,
-                                  p_prior=p_prior, jitter=jitter)
+                                  p_prior=p_prior, jitter=jitter,
+                                  whiten=whiten)
 
     def cand_model(cz, iilane, s2sc):
         """Lane-space `unpack` + priors: cz (K, 1, tile) with the
@@ -365,7 +415,9 @@ def make_mh_rounds(
         # stays single-tile
         from ccgp_tpu.ops.pallas_chol_smallk import dispatch_ok
         n = x.shape[-2]
-        if (se_mix and jax.default_backend() == "tpu"
+        # whiten routes to the XLA fallback: the fused kernel's in-register
+        # quadratics are the bordered form whiten exists to avoid
+        if (not whiten and se_mix and jax.default_backend() == "tpu"
                 and dispatch_ok(n, kk) and (n <= 128 or not stash)):
             from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds
 

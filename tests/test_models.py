@@ -165,6 +165,54 @@ def test_logpost_singular_is_neg_inf():
     assert float(out.val) == -np.inf
 
 
+def test_logpost_whiten_matches_bordered(rng):
+    """whiten=True computes the same log-posterior through the
+    cancellation-free whitened residual (one extra triangular solve) —
+    in f64 at small n the two paths must agree to near round-off, and the
+    batch sibling must agree with the single evaluator. The f32 accuracy
+    case that motivates the option (n >= 768) is adjudicated against a
+    CPU-f64 oracle in scripts/verify_whiten_oracle.py."""
+    from ccgp_tpu.models.likelihood import make_logpost_batch
+
+    x = rng.uniform(size=(12, 2))
+    y = rng.normal(size=12)
+    kw = dict(theta1_prior=InverseGamma(3, 2),
+              theta2_prior=InverseGamma(5, 16), jitter=1e-10)
+    lp = make_logpost(iso_spec(2), jnp.asarray(x), jnp.asarray(y), 1.3, **kw)
+    lp_w = make_logpost(iso_spec(2), jnp.asarray(x), jnp.asarray(y), 1.3,
+                        whiten=True, **kw)
+    lpb_w = make_logpost_batch(iso_spec(2), jnp.asarray(x), jnp.asarray(y),
+                               1.3, whiten=True, **kw)
+    zs = jnp.asarray(rng.normal(size=(5, 3)) * 0.5)
+    vals_w, betas_w = lpb_w(zs)
+    for i, z in enumerate(zs):
+        a, b = lp(z), lp_w(z)
+        assert np.isclose(float(a.val), float(b.val), rtol=1e-9)
+        assert np.isclose(float(a.beta), float(b.beta), rtol=1e-9)
+        assert np.isclose(float(vals_w[i]), float(a.val), rtol=1e-9)
+        assert np.isclose(float(betas_w[i]), float(a.beta), rtol=1e-9)
+
+
+def test_fit_combined_gp_whiten_path(rng):
+    """fit_combined_gp(whiten=True) routes the sampler to the XLA
+    fallback (no stash) and still produces a healthy chain."""
+    from ccgp_tpu.models import MCMCConfig, fit_combined_gp
+
+    x = jnp.asarray(rng.uniform(size=(16, 2)))
+    y = jnp.sin(5 * x[:, 0]) + jnp.cos(3 * x[:, 1])
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
+                       dim=2, rough="tied", anisotropic=True)
+    cfg = MCMCConfig(start=(1.0, 1.0, 0.0, 0.0), n_max=150, samp_size=60,
+                     net_samp_size=60, speculative=4)
+    fit = fit_combined_gp(spec, x, y, jax.random.PRNGKey(2), mcmc=cfg,
+                          theta1_prior=LogNormal(-1, 1),
+                          theta2_prior=InverseGamma(3, 4), jitter=1e-9,
+                          mle_method="grid", whiten=True)
+    assert int(fit.mcmc.n_recorded) > 0
+    assert np.isfinite(np.asarray(fit.zs)).all()
+    assert np.isfinite(np.asarray(fit.cache.chol)).all()
+
+
 def test_logpost_grad_finite(rng):
     x = rng.uniform(size=(10, 2))
     y = rng.normal(size=10)
