@@ -53,3 +53,26 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture
+def no_cache_writes():
+    """Disable the persistent compile cache around GIANT interpret-mode
+    compiles (the fully-unrolled multitile smallk programs at n>128).
+
+    Serializing those executables for the cache (`jax/_src/
+    compilation_cache.py put_executable_and_time` -> native
+    `executable.serialize()` + zstd) segfaulted the interpreter on a cold
+    cache once hundreds of earlier compiles had built up process memory —
+    2/2 cold full-lane runs died there (round-3 verdict). The crash is in
+    native code, so it cannot be caught; the fix is to not serialize those
+    executables at all. Each affected test pays its (in-process-cached)
+    compile once per run instead — measured seconds, not minutes — and the
+    cold default lane survives.
+    """
+    old = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        yield
+    finally:
+        jax.config.update("jax_enable_compilation_cache", old)

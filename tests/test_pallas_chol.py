@@ -284,9 +284,12 @@ def test_factors_lanes_interpret_matches_dense(rng):
         assert np.allclose(np.asarray(f[k]), np.asarray(q[k]), rtol=2e-6), k
 
 
-def test_smallk_two_tile_interpret(rng):
+def test_smallk_two_tile_interpret(rng, no_cache_writes):
     """n in (128, 256]: the small-K kernel pads to a 256 tile and runs a
-    rolled loop; parity against the XLA path at n=150."""
+    rolled loop; parity against the XLA path at n=150.
+
+    `no_cache_writes`: persisting this giant unrolled executable
+    segfaulted cold-cache full-lane runs (see the fixture docstring)."""
     from ccgp_tpu.ops.pallas_chol_smallk import chol_quadratics_smallk
 
     grams, y = _batch(rng, b=3, n=150)
@@ -350,7 +353,7 @@ def test_fused_mh_round_matches_sequential_oracle(rng):
 
 
 @pytest.mark.slow
-def test_smallk_two_tile_interpret_matches_xla(rng):
+def test_smallk_two_tile_interpret_matches_xla(rng, no_cache_writes):
     """128 < n <= 256 routes through the blocked two-tile Schur core
     (`_chol_quad_core_2tile`): 128 unrolled panel steps + one MXU
     dot_general downdate + the unrolled single-tile core on the trailing
@@ -390,7 +393,7 @@ def test_rounds_kernel_multitile_stash_rejected():
 
 
 @pytest.mark.slow
-def test_smallk_three_tile_interpret_matches_xla(rng):
+def test_smallk_three_tile_interpret_matches_xla(rng, no_cache_writes):
     """256 < n routes through the RECURSIVE blocked multi-tile Schur core
     (128-step panel + MXU downdate per level). n=260 is the smallest
     three-level case: 128-panel -> 132-wide complement -> 128-panel ->
@@ -426,10 +429,14 @@ def test_smallk_dispatch_envelope():
         assert k * tiles * tiles == DISPATCH_BUDGET
 
 
-def test_rowslab_core_bit_identical(rng, monkeypatch):
-    """The rowslab single-tile core computes every value with identical
-    arithmetic to the rank-1 core (the slab pivot-row read sums the same
-    single nonzero term), so outputs must be BIT-identical — here in
+def test_single_core_bit_identical(rng, monkeypatch, no_cache_writes):
+    """The rowslab single-tile core — and its fused-pivot refinement,
+    which extracts step j+1's pivot column from the pre-update matrix and
+    applies the rank-1 correction to that one column directly — computes
+    every value with arithmetic identical to the rank-1 core (the slab
+    pivot-row read sums the same single nonzero term; the fused correction
+    is the identical multiply-then-subtract the elementwise downdate
+    performs for that entry), so outputs must be BIT-identical — here in
     interpret mode at one-tile and multitile (recursion base) sizes; the
     on-chip gate is scripts/verify_rowslab_tpu.py."""
     import ccgp_tpu.ops.pallas_chol_smallk as smallk
@@ -439,9 +446,11 @@ def test_rowslab_core_bit_identical(rng, monkeypatch):
         monkeypatch.setattr(smallk, "_SINGLE_CORE", smallk._chol_quad_core)
         qa = smallk.chol_quadratics_smallk(grams, y, jitter=1e-8,
                                            interpret=True)
-        monkeypatch.setattr(smallk, "_SINGLE_CORE",
-                            smallk._chol_quad_core_rowslab)
-        qb = smallk.chol_quadratics_smallk(grams, y, jitter=1e-8,
-                                           interpret=True)
-        for k in qa:
-            assert np.array_equal(np.asarray(qa[k]), np.asarray(qb[k])), (n, k)
+        for core in (smallk._chol_quad_core_rowslab,
+                     smallk._chol_quad_core_rowslab_fused):
+            monkeypatch.setattr(smallk, "_SINGLE_CORE", core)
+            qb = smallk.chol_quadratics_smallk(grams, y, jitter=1e-8,
+                                               interpret=True)
+            for k in qa:
+                assert np.array_equal(np.asarray(qa[k]),
+                                      np.asarray(qb[k])), (core, n, k)
