@@ -347,6 +347,142 @@ def _chol_quad_core_rowslab(m, ry, ro, n: int, kk: int, dtype):
     return ld, qyy, qoy, qoo, m, wy, wo
 
 
+def _chol_quad_core_rowslab_fused(m, ry, ro, n: int, kk: int, dtype):
+    """Rowslab core with the NEXT pivot column's extraction fused into the
+    current step's rank-1 pass.
+
+    `_chol_quad_core_rowslab` still pays two sequentially-dependent
+    full-(K, ns, tile) traversals per step: the sublane-oriented pivot
+    extraction `crow_j = sum(where(lane == j, m, 0))` must read the m the
+    PREVIOUS step wrote, and the rank-1 downdate then rewrites m. Here the
+    dependency is broken algebraically: step j extracts column j+1 from
+    the PRE-update m and applies the rank-1 correction to that one column
+    directly —
+
+        crow_{j+1}  =  extract(m, j+1)  -  lrow_j * llane_j[j+1]
+
+    (llane_j[j+1] is a scalar masked-reduce off the (K, 1, tile) row).
+    Both full-width reads of step j now address the SAME m value with no
+    write between them, so Mosaic can service the extraction and the
+    downdate from one traversal of m — the extraction rides the update
+    pass instead of costing its own.
+
+    Bit-exactness vs `_chol_quad_core_rowslab`: the extraction sums the
+    single nonzero term m[r, j+1] exactly; the correction computes
+    m[r, j+1] - lrow[r] * llane[j+1] — the identical multiply-then-
+    subtract the elementwise downdate performs for that entry, on the
+    identical operand values, in the same order. All other ops unchanged.
+    (Same caveat as every formulation here: interpret-mode equality does
+    not rule out a Mosaic miscompile — the on-chip gate is
+    scripts/verify_rowslab_tpu.py, which must show EXACT equality before
+    `_SINGLE_CORE` may point here.)
+    """
+    ns, tile = m.shape[1], m.shape[-1]
+    iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, ns, 1), 1)
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (kk, min(8, ns), 1), 1)
+
+    ld = jnp.zeros((kk, 1, 1), dtype)
+    wy = jnp.zeros((kk, 1, tile), dtype)
+    wo = jnp.zeros((kk, 1, tile), dtype)
+    crow = jnp.sum(jnp.where(iilane == 0, m, 0.0), axis=2,
+                   keepdims=True)                       # (K, N, 1)
+    for j in range(n):
+        s0 = 8 * (j // 8)
+        slab = m[:, s0:min(s0 + 8, ns), :]              # aligned static read
+        clane = jnp.sum(jnp.where(i8[:, :slab.shape[1]] == (j - s0),
+                                  slab, 0.0), axis=1,
+                        keepdims=True)                  # (K, 1, N)
+        d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                     keepdims=True)                     # (K, 1, 1)
+        dinv = jax.lax.rsqrt(d2)
+        ld = ld + jnp.log(d2)
+        lrow = jnp.where(iirow > j, crow, 0.0) * dinv   # (K, N, 1)
+        llane = jnp.where(iilane > j, clane, 0.0) * dinv
+        if j + 1 < n:
+            # next pivot column off the PRE-update m + rank-1 correction:
+            # no write->read dependency between this and the downdate below
+            lv = jnp.sum(jnp.where(iilane == j + 1, llane, 0.0), axis=2,
+                         keepdims=True)                 # (K, 1, 1)
+            crow = jnp.sum(jnp.where(iilane == j + 1, m, 0.0), axis=2,
+                           keepdims=True) - lrow * lv
+        m = m - lrow * llane
+        rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                      keepdims=True) * dinv             # (K, 1, 1)
+        rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                      keepdims=True) * dinv
+        wy = jnp.where(iilane == j, rjy, wy)
+        wo = jnp.where(iilane == j, rjo, wo)
+        ry = ry - llane * rjy
+        ro = ro - llane * rjo
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+    return ld, qyy, qoy, qoo, m, wy, wo
+
+
+def _chol_quad_core_rowslab_sym(m, ry, ro, n: int, kk: int, dtype):
+    """Rowslab core with the pivot-COLUMN extraction replaced by a
+    transpose of the pivot-row slab read — deleting the remaining
+    full-(K, ns, tile) extraction traversal per step, leaving the rank-1
+    downdate as the only full-matrix pass.
+
+    Validity: the active trailing block of a Cholesky downdate stays
+    BIT-exactly symmetric. Inductively, if m is bit-symmetric then
+    lrow[r] * llane[c] and lrow[c] * llane[r] multiply the same two f32
+    values (crow[r] == clane[c] etc.), and f32 multiplication is
+    commutative bit-wise, so m - lrow*llane is again bit-symmetric; rows/
+    columns <= j are never touched after step j. All callers supply
+    bit-symmetric inputs: the in-kernel SE-mixture Gram is built from a
+    squared-difference stack (exactly symmetric), `chol_quadratics_smallk`
+    pads with zero lanes + identity rows whose mirrored entries are zeros
+    on both sides, and the multitile base case's Schur complement
+    m - dot(us, us^T) mirrors the same commutative products. (A caller
+    passing a non-bit-symmetric Gram is outside the Cholesky contract —
+    the rank-1 core already mixes both triangles.)
+
+    So crow == transpose(clane) bit-for-bit, and the (K, 1, tile) ->
+    (K, tile, 1) swap is a cheap XLU relayout instead of a full matrix
+    read. Everything else is unchanged from `_chol_quad_core_rowslab`.
+    The on-chip gate (exactness AND the it-didn't-miscompile check) is
+    scripts/verify_rowslab_tpu.py.
+    """
+    ns, tile = m.shape[1], m.shape[-1]
+    iirow = jax.lax.broadcasted_iota(jnp.int32, (kk, ns, 1), 1)
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+    i8 = jax.lax.broadcasted_iota(jnp.int32, (kk, min(8, ns), 1), 1)
+
+    ld = jnp.zeros((kk, 1, 1), dtype)
+    wy = jnp.zeros((kk, 1, tile), dtype)
+    wo = jnp.zeros((kk, 1, tile), dtype)
+    for j in range(n):
+        s0 = 8 * (j // 8)
+        slab = m[:, s0:min(s0 + 8, ns), :]              # aligned static read
+        clane = jnp.sum(jnp.where(i8[:, :slab.shape[1]] == (j - s0),
+                                  slab, 0.0), axis=1,
+                        keepdims=True)                  # (K, 1, N)
+        crow = jnp.swapaxes(clane, 1, 2)[:, :ns, :]     # == column j (sym)
+        d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                     keepdims=True)                     # (K, 1, 1)
+        dinv = jax.lax.rsqrt(d2)
+        ld = ld + jnp.log(d2)
+        lrow = jnp.where(iirow > j, crow, 0.0) * dinv   # (K, N, 1)
+        llane = jnp.where(iilane > j, clane, 0.0) * dinv
+        m = m - lrow * llane
+        rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                      keepdims=True) * dinv             # (K, 1, 1)
+        rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                      keepdims=True) * dinv
+        wy = jnp.where(iilane == j, rjy, wy)
+        wo = jnp.where(iilane == j, rjo, wo)
+        ry = ry - llane * rjy
+        ro = ro - llane * rjo
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+    return ld, qyy, qoy, qoo, m, wy, wo
+
+
 def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
     """Multi-tile (128 < n <= MAX_N) BLOCKED-SCHUR core: per 128-row
     block, 128 fully-unrolled panel steps + ONE MXU Schur downdate of the

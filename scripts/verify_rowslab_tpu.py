@@ -50,6 +50,12 @@ def make_grams(n, k, seed):
     rng = np.random.default_rng(seed)
     a = rng.normal(size=(k, n, n)).astype(np.float32)
     g = a @ np.transpose(a, (0, 2, 1)) / n + 2.0 * np.eye(n, dtype=np.float32)
+    # enforce BIT-symmetry (the Cholesky cores' input contract; BLAS sgemm
+    # does not guarantee g[i,j] == g[j,i] to the last bit, while the
+    # library's real Grams — in-kernel SE mixtures and the MXU rank-1
+    # distance expansion — are exactly symmetric by construction)
+    tril = np.tril(g)
+    g = tril + np.transpose(np.tril(g, -1), (0, 2, 1))
     y = rng.normal(size=(n,)).astype(np.float32)
     return g, y
 
@@ -70,21 +76,24 @@ def main():
         g, y = make_grams(n, 4, seed=n)
         outs = {}
         for name, core in (("rank1", smallk._chol_quad_core),
-                           ("rowslab", smallk._chol_quad_core_rowslab)):
+                           ("rowslab", smallk._chol_quad_core_rowslab),
+                           ("fused", smallk._chol_quad_core_rowslab_fused),
+                           ("sym", smallk._chol_quad_core_rowslab_sym)):
             smallk._SINGLE_CORE = core
             q = smallk.chol_quadratics_smallk(jnp.asarray(g), jnp.asarray(y),
                                               jitter=1e-6)
             outs[name] = {kk: np.asarray(v) for kk, v in q.items()}
         smallk._SINGLE_CORE = smallk._chol_quad_core
-        eq = all(np.array_equal(outs["rank1"][kk], outs["rowslab"][kk])
-                 for kk in outs["rank1"])
-        finite = all(np.isfinite(v).all() for v in outs["rowslab"].values())
-        print(f"n={n:4d} exact-equal: {eq}  rowslab-finite: {finite}")
-        if not eq:
-            for kk in outs["rank1"]:
-                d = np.abs(outs["rank1"][kk] - outs["rowslab"][kk]).max()
-                print(f"    {kk}: max|delta| = {d:.3e}")
-        ok &= eq and finite
+        for other in ("rowslab", "fused", "sym"):
+            eq = all(np.array_equal(outs["rank1"][kk], outs[other][kk])
+                     for kk in outs["rank1"])
+            finite = all(np.isfinite(v).all() for v in outs[other].values())
+            print(f"n={n:4d} {other:8s} exact-equal: {eq}  finite: {finite}")
+            if not eq:
+                for kk in outs["rank1"]:
+                    d = np.abs(outs["rank1"][kk] - outs[other][kk]).max()
+                    print(f"    {kk}: max|delta| = {d:.3e}")
+            ok &= eq and finite
 
     if not ok:
         print("FAIL: on-chip mismatch — _SINGLE_CORE must stay on rank1")
@@ -94,7 +103,9 @@ def main():
     g, y = make_grams(n, 4, seed=1)
     gj, yj = jnp.asarray(g), jnp.asarray(y)
     for name, core in (("rank1", smallk._chol_quad_core),
-                       ("rowslab", smallk._chol_quad_core_rowslab)):
+                       ("rowslab", smallk._chol_quad_core_rowslab),
+                       ("fused", smallk._chol_quad_core_rowslab_fused),
+                       ("sym", smallk._chol_quad_core_rowslab_sym)):
         smallk._SINGLE_CORE = core
 
         def f(gg, yy):
