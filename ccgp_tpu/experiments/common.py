@@ -30,6 +30,11 @@ class StudyResult(NamedTuple):
     fit: CombinedGPFit
     predictions: dict     # model name -> ModelPrediction
     y_true: np.ndarray
+    # min-over-parameters ESS of the retained window: Geweke convergence
+    # alone can hide RW-MH mixing collapse (the flagship 2-D aniso
+    # posterior converges with min ESS ~9/1000); see DESIGN.md "Mixing
+    # policy" for when to prefer infer/hmc.py.
+    min_ess: float = float("nan")
 
 
 def run_study(
@@ -120,5 +125,9 @@ def run_study(
                                              np.asarray(cpred.upper))
 
     summary = comparison_summary(np.asarray(y_true), predictions)
+    from ccgp_tpu.infer.diagnostics import effective_sample_size
+
+    min_ess = float(np.min(np.asarray(
+        effective_sample_size(jnp.asarray(fit.zs)[None]))))
     return StudyResult(summary=summary, fit=fit, predictions=predictions,
-                       y_true=np.asarray(y_true))
+                       y_true=np.asarray(y_true), min_ess=min_ess)
