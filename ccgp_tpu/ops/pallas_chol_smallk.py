@@ -483,6 +483,149 @@ def _chol_quad_core_rowslab_sym(m, ry, ro, n: int, kk: int, dtype):
     return ld, qyy, qoy, qoo, m, wy, wo
 
 
+def _chol_quad_core_shrink(m, ry, ro, n: int, kk: int, dtype):
+    """Rowslab core with a SHRINKING active-row window: step j downdates
+    and extracts only the 8-row slabs holding rows > j (slab index
+    >= j // 8 — a static bound, so the slab loop unrolls).
+
+    The rank-1 cores spend their cycles on two full-(K, ns, tile) passes
+    per step (pivot-column extraction + downdate), but rows <= j are
+    FINALIZED: `lrow` is masked to zero there, so the downdate writes
+    back `m - 0 * llane` — pure wasted bandwidth that grows to half the
+    total as j sweeps the tile. Holding m as a list of 8-row slab values
+    (statically indexed, so everything unrolls) lets step j touch only
+    slabs >= j // 8: total downdate work drops from ns*n to ~ns*n/2
+    elements, without any dynamic shapes.
+
+    Value-exactness vs `_chol_quad_core_rowslab`: active rows see the
+    identical ops in the identical order; finalized rows are simply not
+    rewritten. The skipped write is `m - (0.0 * dinv) * llane`, which
+    preserves every value (x - 0 == x) except that it can flip a -0.0
+    entry to +0.0 (and with a singular pivot, dinv=NaN would poison the
+    finalized rows of mfin — unobservable: NaN logpost candidates are
+    never accepted, so their stash row is never selected). Gates compare
+    with np.array_equal (numeric equality, -0 == +0): interpret-mode in
+    tests/test_pallas_chol.py, on-chip via scripts/verify_rowslab_tpu.py
+    + the full-output A/B in scripts/ab_mhrounds_core.py.
+    """
+    ns, tile = m.shape[1], m.shape[-1]
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+    nsl = (ns + 7) // 8
+    slabs = [m[:, 8 * t:min(8 * t + 8, ns), :] for t in range(nsl)]
+    irows = [8 * t + jax.lax.broadcasted_iota(
+        jnp.int32, (kk, slabs[t].shape[1], 1), 1) for t in range(nsl)]
+
+    ld = jnp.zeros((kk, 1, 1), dtype)
+    wy = jnp.zeros((kk, 1, tile), dtype)
+    wo = jnp.zeros((kk, 1, tile), dtype)
+    for j in range(n):
+        si = j // 8
+        clane = jnp.sum(jnp.where(irows[si] == j, slabs[si], 0.0), axis=1,
+                        keepdims=True)                  # (K, 1, N)
+        d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                     keepdims=True)                     # (K, 1, 1)
+        dinv = jax.lax.rsqrt(d2)
+        ld = ld + jnp.log(d2)
+        llane = jnp.where(iilane > j, clane, 0.0) * dinv
+        for t in range(si, nsl):
+            crow = jnp.sum(jnp.where(iilane == j, slabs[t], 0.0), axis=2,
+                           keepdims=True)               # (K, 8, 1)
+            lrow = jnp.where(irows[t] > j, crow, 0.0) * dinv
+            slabs[t] = slabs[t] - lrow * llane
+        rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                      keepdims=True) * dinv             # (K, 1, 1)
+        rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                      keepdims=True) * dinv
+        wy = jnp.where(iilane == j, rjy, wy)
+        wo = jnp.where(iilane == j, rjo, wo)
+        ry = ry - llane * rjy
+        ro = ro - llane * rjo
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+    return ld, qyy, qoy, qoo, jnp.concatenate(slabs, axis=1), wy, wo
+
+
+def _chol_quad_core_pipe(m, ry, ro, n: int, kk: int, dtype):
+    """Software-PIPELINED shrink core: the per-step serial chain
+    (pivot-row extract -> lane-reduce d2 -> rsqrt -> scaled row) is fed by
+    a CARRIED corrected pivot row instead of reading the downdated matrix,
+    so the chain of step j+1 no longer waits for step j's full-matrix
+    downdate.
+
+    Motivation (measured, scripts at /tmp round 4): the factorization is
+    latency-bound, not throughput-bound — halving the downdate arithmetic
+    (shrink) cut only ~1.6 us of a ~12 us factorization, while deleting
+    the d2->rsqrt scalar chain alone cut ~5 us. The serial chain IS the
+    cost; this core shortens it to corrections on (K, 1, tile) rows.
+
+    Identity (all bit-exact, same two-operand f32 ops in the same order):
+    the active block stays bit-symmetric under the rank-1 downdate
+    (commutative products — see `_chol_quad_core_rowslab_sym`), so
+
+        row_{j+1}(post step j)
+          = row_pre_{j+1} - lrow_j[j+1] * llane_j      (the downdate)
+          = row_pre_{j+1} - llane_j[j+1] * llane_j     (symmetry:
+            crow_j[j+1] == clane_j[j+1] bit-for-bit, both scaled by the
+            same dinv_j)
+
+    where row_pre_{j+1} is a cheap 8-row slab read taken BEFORE the
+    downdate writes, and llane_j[j+1] is a lane-masked scalar extract.
+    The carried row equals the downdated matrix row bit-for-bit, d2 and
+    llane of step j+1 come off the carry, and the t-loop downdate (with
+    its per-slab column extraction) runs OFF the serial chain. Gates:
+    interpret-mode bit-identity (tests/test_pallas_chol.py), on-chip
+    scripts/verify_rowslab_tpu.py + full-output A/B in
+    scripts/ab_mhrounds_core.py.
+    """
+    ns, tile = m.shape[1], m.shape[-1]
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+    nsl = (ns + 7) // 8
+    slabs = [m[:, 8 * t:min(8 * t + 8, ns), :] for t in range(nsl)]
+    irows = [8 * t + jax.lax.broadcasted_iota(
+        jnp.int32, (kk, slabs[t].shape[1], 1), 1) for t in range(nsl)]
+
+    ld = jnp.zeros((kk, 1, 1), dtype)
+    wy = jnp.zeros((kk, 1, tile), dtype)
+    wo = jnp.zeros((kk, 1, tile), dtype)
+    clane = jnp.sum(jnp.where(irows[0] == 0, slabs[0], 0.0), axis=1,
+                    keepdims=True)                      # row 0, initial m
+    for j in range(n):
+        si = j // 8
+        d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                     keepdims=True)                     # (K, 1, 1)
+        dinv = jax.lax.rsqrt(d2)
+        ld = ld + jnp.log(d2)
+        llane = jnp.where(iilane > j, clane, 0.0) * dinv
+        if j + 1 < n:
+            # next pivot row off the PRE-downdate slab + scalar correction:
+            # the serial chain of step j+1 starts here, concurrent with
+            # this step's downdate below
+            sj = (j + 1) // 8
+            row_pre = jnp.sum(jnp.where(irows[sj] == j + 1, slabs[sj], 0.0),
+                              axis=1, keepdims=True)    # (K, 1, N)
+            s = jnp.sum(jnp.where(iilane == j + 1, llane, 0.0), axis=2,
+                        keepdims=True)                  # == lrow_j[j+1]
+            clane = row_pre - s * llane
+        for t in range(si, nsl):
+            crow = jnp.sum(jnp.where(iilane == j, slabs[t], 0.0), axis=2,
+                           keepdims=True)               # (K, 8, 1)
+            lrow = jnp.where(irows[t] > j, crow, 0.0) * dinv
+            slabs[t] = slabs[t] - lrow * llane
+        rjy = jnp.sum(jnp.where(iilane == j, ry, 0.0), axis=2,
+                      keepdims=True) * dinv             # (K, 1, 1)
+        rjo = jnp.sum(jnp.where(iilane == j, ro, 0.0), axis=2,
+                      keepdims=True) * dinv
+        wy = jnp.where(iilane == j, rjy, wy)
+        wo = jnp.where(iilane == j, rjo, wo)
+        ry = ry - llane * rjy
+        ro = ro - llane * rjo
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+    return ld, qyy, qoy, qoo, jnp.concatenate(slabs, axis=1), wy, wo
+
+
 def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
     """Multi-tile (128 < n <= MAX_N) BLOCKED-SCHUR core: per 128-row
     block, 128 fully-unrolled panel steps + ONE MXU Schur downdate of the
@@ -585,10 +728,14 @@ def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
 # every candidate log-posterior, and drives remote compiles >20 min even
 # at n=32). Module-level so the on-chip gate script can A/B formulations;
 # flipping it between traces of the SAME jitted callable is unsupported
-# (the jit cache keys on neither). Default: the rowslab core — on-chip
-# BIT-identical to the rank-1 core at n=7/100/200 and ~18% faster at the
-# bench shape (scripts/verify_rowslab_tpu.py, v5e).
-_SINGLE_CORE = _chol_quad_core_rowslab
+# (the jit cache keys on neither). Default: the SHRINK core — on-chip
+# BIT-identical to the rank-1 core at n=7/100/200 and fastest in both
+# round-4 MH-round A/Bs (14.67 / 15.22 us/round vs rowslab 16.11 / 15.54,
+# fused 15.50 / 16.19, pipe 18.38; scripts/ab_mhrounds_core.py +
+# scripts/verify_rowslab_tpu.py, v5e). The pipelined core stays off: the
+# latency probe says the serial d2->rsqrt chain costs ~5 us/round, but
+# carrying the corrected pivot row re-lengthens the chain in practice.
+_SINGLE_CORE = _chol_quad_core_shrink
 
 
 def _core_for(tile: int):

@@ -86,7 +86,9 @@ def main():
     cores = [("rank1", smallk._chol_quad_core),
              ("rowslab", smallk._chol_quad_core_rowslab),
              ("fused", smallk._chol_quad_core_rowslab_fused),
-             ("sym", smallk._chol_quad_core_rowslab_sym)]
+             ("sym", smallk._chol_quad_core_rowslab_sym),
+             ("shrink", smallk._chol_quad_core_shrink),
+             ("pipe", smallk._chol_quad_core_pipe)]
 
     outs, times = {}, {}
     for name, core in cores:
@@ -108,10 +110,10 @@ def main():
         print(f"{name:8s}  {times[name]:7.2f} us/round  "
               f"(acc={int(outs[name]['acc'].sum())}, "
               f"consumed={int(outs[name]['consumed'].sum())})")
-    smallk._SINGLE_CORE = smallk._chol_quad_core_rowslab
+    smallk._SINGLE_CORE = smallk._chol_quad_core_shrink
 
     ok = True
-    for other in ("rowslab", "fused", "sym"):
+    for other in ("rowslab", "fused", "sym", "shrink", "pipe"):
         for k in outs["rank1"]:
             if not np.array_equal(outs["rank1"][k], outs[other][k],
                                   equal_nan=True):

@@ -78,13 +78,15 @@ def main():
         for name, core in (("rank1", smallk._chol_quad_core),
                            ("rowslab", smallk._chol_quad_core_rowslab),
                            ("fused", smallk._chol_quad_core_rowslab_fused),
-                           ("sym", smallk._chol_quad_core_rowslab_sym)):
+                           ("sym", smallk._chol_quad_core_rowslab_sym),
+                           ("shrink", smallk._chol_quad_core_shrink),
+                           ("pipe", smallk._chol_quad_core_pipe)):
             smallk._SINGLE_CORE = core
             q = smallk.chol_quadratics_smallk(jnp.asarray(g), jnp.asarray(y),
                                               jitter=1e-6)
             outs[name] = {kk: np.asarray(v) for kk, v in q.items()}
-        smallk._SINGLE_CORE = smallk._chol_quad_core
-        for other in ("rowslab", "fused", "sym"):
+        smallk._SINGLE_CORE = smallk._chol_quad_core_shrink
+        for other in ("rowslab", "fused", "sym", "shrink", "pipe"):
             eq = all(np.array_equal(outs["rank1"][kk], outs[other][kk])
                      for kk in outs["rank1"])
             finite = all(np.isfinite(v).all() for v in outs[other].values())
@@ -105,7 +107,9 @@ def main():
     for name, core in (("rank1", smallk._chol_quad_core),
                        ("rowslab", smallk._chol_quad_core_rowslab),
                        ("fused", smallk._chol_quad_core_rowslab_fused),
-                       ("sym", smallk._chol_quad_core_rowslab_sym)):
+                       ("sym", smallk._chol_quad_core_rowslab_sym),
+                       ("shrink", smallk._chol_quad_core_shrink),
+                       ("pipe", smallk._chol_quad_core_pipe)):
         smallk._SINGLE_CORE = core
 
         def f(gg, yy):
@@ -115,7 +119,7 @@ def main():
         fj = jax.jit(f)
         t = slope(fj, (gj, yj))
         print(f"{name:8s} n=100 K=4: {t:8.1f} us/eval")
-    smallk._SINGLE_CORE = smallk._chol_quad_core
+    smallk._SINGLE_CORE = smallk._chol_quad_core_shrink
     print("OK")
 
 

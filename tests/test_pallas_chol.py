@@ -430,13 +430,13 @@ def test_smallk_dispatch_envelope():
 
 
 def test_single_core_bit_identical(rng, monkeypatch, no_cache_writes):
-    """The rowslab single-tile core — and its fused-pivot refinement,
-    which extracts step j+1's pivot column from the pre-update matrix and
-    applies the rank-1 correction to that one column directly — computes
-    every value with arithmetic identical to the rank-1 core (the slab
-    pivot-row read sums the same single nonzero term; the fused correction
-    is the identical multiply-then-subtract the elementwise downdate
-    performs for that entry), so outputs must be BIT-identical — here in
+    """Every single-tile core formulation — rowslab, its fused-pivot
+    refinement, the shrinking-window core (skips downdates of finalized
+    8-row slabs: the skipped write is `m - 0*llane`, value-preserving),
+    and the software-pipelined core (carries the corrected next pivot row,
+    bit-equal by active-block symmetry) — computes every value with
+    arithmetic identical to the rank-1 core, so outputs must be
+    BIT-identical (np.array_equal: numeric equality, -0 == +0) — here in
     interpret mode at one-tile and multitile (recursion base) sizes; the
     on-chip gate is scripts/verify_rowslab_tpu.py."""
     import ccgp_tpu.ops.pallas_chol_smallk as smallk
@@ -447,7 +447,9 @@ def test_single_core_bit_identical(rng, monkeypatch, no_cache_writes):
         qa = smallk.chol_quadratics_smallk(grams, y, jitter=1e-8,
                                            interpret=True)
         for core in (smallk._chol_quad_core_rowslab,
-                     smallk._chol_quad_core_rowslab_fused):
+                     smallk._chol_quad_core_rowslab_fused,
+                     smallk._chol_quad_core_shrink,
+                     smallk._chol_quad_core_pipe):
             monkeypatch.setattr(smallk, "_SINGLE_CORE", core)
             qb = smallk.chol_quadratics_smallk(grams, y, jitter=1e-8,
                                                interpret=True)
