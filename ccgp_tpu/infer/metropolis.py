@@ -43,6 +43,11 @@ from ccgp_tpu.ops.pallas_rng import (split_chain_supported,
 # tests/test_pallas_rng.py, scripts/verify_split_chain_tpu.py)
 SPLIT_CHAIN_KERNEL = True
 
+# default warm-phase chunk size (rounds per kernel launch while no Geweke
+# check boundary is reachable) — exported so callers sizing the stash
+# buffer (models/combined_gp.py) agree with the driver's slack rows
+ROUNDS_PER_CALL_WARM = 120
+
 
 class MetropolisResult(NamedTuple):
     samples: jnp.ndarray     # (n_max, dim) unconstrained draws (ring buffer)
@@ -54,10 +59,16 @@ class MetropolisResult(NamedTuple):
     pvalue: jnp.ndarray      # final Geweke p-value
     converged: jnp.ndarray   # stopped via Geweke (vs. hitting n_max)
     laplace: LaplaceFit
-    # per-record prediction factors [L rows | L^{-1}y | L^{-1}1], emitted
-    # by the multi-round kernel when stash_rows is set (row i <-> samples
-    # row i); None otherwise
+    # per-record prediction factors [row-scaled L rows | L^{-1}y |
+    # L^{-1}1] (decode via `predict.factors.decode_stash`), emitted by
+    # the multi-round kernel when stash_rows is set (row i <-> samples
+    # row i, capacity `stash_cap` rows); None otherwise
     factors: jnp.ndarray | None = None
+    # True iff every stash write stayed inside the (possibly capped)
+    # factors buffer — when False the buffer holds clamp-corrupted rows
+    # and consumers must rebuild factors classically; None when factors
+    # is None
+    factors_ok: jnp.ndarray | None = None
 
     def retained(self, samp_size: int):
         """Last `samp_size` recorded draws — the reference's
@@ -101,8 +112,10 @@ def metropolis(
     mh_round: Callable | None = None,
     mh_rounds: Callable | None = None,
     rounds_per_call: int = 20,
-    rounds_per_call_warm: int = 120,
+    rounds_per_call_warm: int = ROUNDS_PER_CALL_WARM,
     stash_rows: int | None = None,
+    stash_lanes: int = 128,
+    stash_cap: int | None = None,
 ) -> MetropolisResult:
     """Run one chain. `logpost(z)` must return an object with `.val` (scalar
     log-posterior; -inf for invalid) and `.beta`.
@@ -298,7 +311,18 @@ def metropolis(
         # +RW slack rows for chunk overshoot, +1 scratch row that rejected
         # rounds' scatter writes land in (never read)
         Pc0 = jnp.zeros((n_max + RW + 1, dim + 2), dtype)
-        ST0 = (jnp.zeros((n_max + RW + 1, stash_rows, 128), dtype)
+        # the stash buffer can be CAPPED below the worst-case chain
+        # length (its rows cost stash_rows * stash_lanes * 4 bytes each —
+        # ~1 MB at n=512, so a full n_max-capacity buffer would be
+        # several GB): writes past the cap clamp (harmless corruption of
+        # tail rows) and flip st_ok False, telling the consumer to
+        # rebuild factors classically instead of decoding the stash
+        # floor RW + 1: every chunk body traces a dynamic-update-slice
+        # of an RW-row slab, which must FIT the buffer regardless of
+        # how far the chain actually runs
+        ST_CAP = (n_max + RW + 1 if stash_cap is None
+                  else max(min(int(stash_cap), n_max + RW + 1), RW + 1))
+        ST0 = (jnp.zeros((ST_CAP, stash_rows, stash_lanes), dtype)
                if stash_rows else None)
 
         def rng_step(k, _):
@@ -328,7 +352,8 @@ def metropolis(
             can reach record position samp_size)."""
 
             def body_c(state):
-                key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
+                (key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST,
+                 st_ok) = state
                 # chunk RNG: the EXACT per-round stream (sequential key
                 # splits via scan, then batched generation per round key —
                 # values identical to the one-round bodies')
@@ -366,6 +391,11 @@ def metropolis(
                 P = jax.lax.dynamic_update_slice(
                     P, out["rec"][order], (k_rec, 0))
                 if ST is not None:
+                    if ST.shape[0] < n_max + RW + 1:
+                        # capped buffer: a chunk whose slab could reach
+                        # past the cap clamps (corrupting tail rows) —
+                        # record it so the consumer rebuilds instead
+                        st_ok = st_ok & (k_rec + rr <= ST.shape[0])
                     ST = jax.lax.dynamic_update_slice(
                         ST, out["stash"][order], (k_rec, 0, 0))
 
@@ -388,12 +418,12 @@ def metropolis(
                 n_con_c = jnp.sum(jnp.where(valid, out["consumed"], 0))
                 return (key, k_rec + n_acc_c, n_prop + n_con_c,
                         n_acc + n_acc_c, out["z_fin"], out["val_fin"],
-                        out["beta_fin"], P, pv, ST)
+                        out["beta_fin"], P, pv, ST, st_ok)
 
             return body_c
 
         def cond_c(state):
-            key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
+            k_rec, n_prop, pv = state[1], state[2], state[8]
             return ((k_rec < n_max) & (pv < alpha_geweke)
                     & (n_prop < max_proposals))
 
@@ -403,14 +433,15 @@ def metropolis(
             # is reachable, so eliding the Geweke conditional cannot
             # change the chain
             def cond(state):
-                key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST = state
+                k_rec, n_prop, pv = state[1], state[2], state[8]
                 return ((k_rec + rr < samp_size) & (k_rec < n_max)
                         & (pv < alpha_geweke) & (n_prop < max_proposals))
 
             return cond
 
         init_c = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
-                  z0, lp0.val, lp0.beta, Pc0, jnp.asarray(0.0, dtype), ST0)
+                  z0, lp0.val, lp0.beta, Pc0, jnp.asarray(0.0, dtype), ST0,
+                  jnp.asarray(True))
         # three phases, all over the SAME per-round stream (chunk size and
         # check elision never change which rounds run — only how they are
         # batched): check-free 120-round warm chunks, then check-free
@@ -421,7 +452,8 @@ def metropolis(
         mid = (jax.lax.while_loop(cond_free(RR), make_body(RR, check=False),
                                   warm)
                if RR < RW else warm)
-        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv, ST) = (
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv, ST,
+         st_ok) = (
             jax.lax.while_loop(cond_c, make_body(RR, check=True), mid)
         )
         row_ids = jnp.arange(n_max)
@@ -431,7 +463,7 @@ def metropolis(
             logposts=jnp.where(recorded, P[:n_max, dim + 1], -jnp.inf),
             n_recorded=k_rec, n_proposals=n_prop, n_accepted=n_acc,
             pvalue=pv, converged=pv >= alpha_geweke, laplace=fit,
-            factors=None if ST is None else ST[:n_max],
+            factors=ST, factors_ok=None if ST is None else st_ok,
         )
 
     if K > 1:

@@ -46,6 +46,13 @@ if TYPE_CHECKING:   # runtime imports are function-local: `predict` sits
 # the pinned bench chain reproduces 1060 recorded / 6746 proposals).
 MH_ROUNDS_CHUNKING = True
 
+# HBM budget for the sampler's stashed-factor buffer (rows cost
+# stash_rows * stash_lanes * 4 bytes: ~53 KB at n=100, ~1 MB at n=512,
+# ~4.2 MB at n=1024). Within budget the stash replaces the posterior
+# factor-cache rebuild for free; a chain recording past the capped
+# capacity falls back to the classic rebuild via lax.cond.
+_STASH_BUDGET_BYTES = 2 << 30
+
 
 @dataclass(frozen=True)
 class MCMCConfig:
@@ -115,7 +122,7 @@ def fit_combined_gp(
                            jitter=jitter, whiten=whiten)
     round_fn = None
     rounds_fn = None
-    stash_rows = None
+    stash_rows = stash_lanes = stash_cap = None
     n_train = x.shape[-2]
     se_mix = (spec.kernel1.raw_kind == "sqdist"
               and spec.kernel2.raw_kind == "sqdist")
@@ -124,23 +131,42 @@ def fit_combined_gp(
                 and jax.default_backend() == "tpu"
                 and mcmc.record == "accepted"):
             # CHUNKED multi-round driver (20 rounds per launch, chain
-            # identical to the one-round bodies). n <= 128 with K <= 16:
-            # one Pallas kernel per chunk with candidate transform/priors
-            # in-kernel AND the per-record prediction factors
-            # [L | L^-1 y | L^-1 1] stashed as free factorization
-            # byproducts (deletes the ~10 ms/1000-draw posterior
-            # factor-cache rebuild); beyond that but inside the
-            # `dispatch_ok` envelope (n <= 1024, K*tiles^2 <= 256): the
-            # multi-tile blocked-Schur kernel (no stash — its factor
-            # byproducts are partial), factor cache rebuilt the classic
-            # way; outside the envelope: the driver's XLA scan fallback
-            # (still ~20 rounds per dispatch vs one) — same records in
-            # every regime. The stash gate must mirror make_mh_rounds'
-            # fused-kernel condition: stash=True on the XLA fallback is
-            # a ValueError (the fallback emits no stash).
-            use_stash = (n_train <= 128 and mcmc.speculative <= 16
-                         and not whiten)
-            stash_rows = (-(-(n_train + 2) // 8) * 8) if use_stash else None
+            # identical to the one-round bodies). Inside the
+            # `dispatch_ok` envelope (n <= 1024, K <= 16,
+            # K*tiles^2 <= 256): one Pallas kernel per chunk with
+            # candidate transform/priors in-kernel AND the per-record
+            # prediction factors [L | L^-1 y | L^-1 1] stashed as free
+            # factorization byproducts (deletes the posterior
+            # factor-cache rebuild — ~10 ms/1000 draws at n=100, tens of
+            # ms at multi-tile sizes); outside the envelope: the
+            # driver's XLA scan fallback (still ~20 rounds per dispatch
+            # vs one) — same records in every regime. The stash gate
+            # must mirror make_mh_rounds' fused-kernel condition:
+            # stash=True on the XLA fallback is a ValueError (the
+            # fallback emits no stash). Multi-tile stash rows cost
+            # stash_rows * stash_lanes * 4 bytes each, so the buffer is
+            # CAPPED to _STASH_BUDGET_BYTES: chains that record past the
+            # cap flip factors_ok and the cache is rebuilt classically
+            # (lax.cond below); if even samp_size + warm-chunk slack
+            # doesn't fit, the stash is off entirely.
+            from ccgp_tpu.infer.metropolis import ROUNDS_PER_CALL_WARM
+            from ccgp_tpu.ops.pallas_chol_smallk import dispatch_ok
+
+            use_stash = (not whiten
+                         and dispatch_ok(n_train, mcmc.speculative))
+            if use_stash:
+                stash_rows = -(-(n_train + 2) // 8) * 8
+                stash_lanes = -(-n_train // 128) * 128
+                row_bytes = stash_rows * stash_lanes * 4
+                slack = ROUNDS_PER_CALL_WARM + 1
+                cap_allowed = _STASH_BUDGET_BYTES // row_bytes
+                if cap_allowed >= mcmc.n_max + slack:
+                    stash_cap = None     # full capacity: always decodable
+                elif cap_allowed >= mcmc.samp_size + slack:
+                    stash_cap = int(cap_allowed)
+                else:
+                    use_stash = False
+                    stash_rows = stash_lanes = None
             rounds_fn = make_mh_rounds(spec, x, y, s2,
                                        theta1_prior=theta1_prior,
                                        theta2_prior=theta2_prior,
@@ -162,8 +188,11 @@ def fit_combined_gp(
                      max_proposals=mcmc.max_proposals,
                      speculative=mcmc.speculative,
                      mh_round=round_fn, mh_rounds=rounds_fn,
-                     stash_rows=stash_rows)
-    from ccgp_tpu.predict.factors import FactorCache, build_factors
+                     stash_rows=stash_rows,
+                     stash_lanes=stash_lanes or 128,
+                     stash_cap=stash_cap)
+    from ccgp_tpu.predict.factors import (FactorCache, build_factors,
+                                          decode_stash)
 
     zs_all, betas_all, _ = res.retained(mcmc.samp_size)
     # reference keeps the last net_samp_size of the samp_size window
@@ -175,15 +204,30 @@ def fit_combined_gp(
         # the sampler already emitted each retained draw's factors (XLA
         # fuses this row gather into the consumers; a dynamic-slice /
         # lax.cond fast path was measured NEUTRAL-to-slower on the bench)
-        hi = jnp.maximum(res.n_recorded - 1, 0)
+        hi = jnp.minimum(jnp.maximum(res.n_recorded - 1, 0),
+                         res.factors.shape[0] - 1)
         idx = jnp.clip(res.n_recorded - mcmc.net_samp_size
                        + jnp.arange(mcmc.net_samp_size), 0, hi)
-        fac = res.factors[idx]
-        chol = jnp.tril(fac[:, :n_train, :n_train])
-        wy = fac[:, n_train, :n_train]
-        wo = fac[:, n_train + 1, :n_train]
-        cache = FactorCache(chol=chol, a=wy - betas[:, None] * wo, u=wo,
-                            beta=betas, params=params)
+
+        def _decode(_):
+            chol, wy, wo = decode_stash(res.factors[idx], n_train)
+            return chol, wy - betas[:, None] * wo, wo
+
+        if stash_cap is None:
+            chol, a, u = _decode(None)
+        else:
+            # capped stash: a chain that recorded past the cap corrupted
+            # the buffer tail (factors_ok False) — rebuild classically;
+            # the cond compiles both branches but runs only one
+            def _rebuild(_):
+                c = build_factors(spec, x, y, zs, betas, jitter=jitter)
+                return c.chol, c.a, c.u
+
+            ok = res.factors_ok & (res.n_recorded
+                                   <= res.factors.shape[0])
+            chol, a, u = jax.lax.cond(ok, _decode, _rebuild, None)
+        cache = FactorCache(chol=chol, a=a, u=u, beta=betas,
+                            params=params)
     else:
         cache = build_factors(spec, x, y, zs, betas, jitter=jitter)
     return CombinedGPFit(sigma2=s2, mle=mle, mcmc=res, cache=cache, zs=zs,

@@ -315,9 +315,9 @@ def make_mh_rounds(
     f(z, lp_val, lp_beta, deltas (R*K, dim), log_u (R, K)) -> dict (see
     `ops.pallas_chol_smallk.fused_mix_mh_rounds`).
 
-    On TPU for SE/SE mixtures (n <= 128, or without stash any (n, K)
-    inside `pallas_chol_smallk.dispatch_ok`'s envelope — n <= 1024 via
-    the multi-tile blocked Schur core) the R rounds run as ONE Pallas
+    On TPU for SE/SE mixtures with any (n, K) inside
+    `pallas_chol_smallk.dispatch_ok`'s envelope (n <= 1024 via the
+    multi-tile blocked Schur core) the R rounds run as ONE Pallas
     kernel with the candidate transform, priors and Jacobians evaluated
     IN-KERNEL via the lane-space closure below — the per-round XLA
     overhead (~30 tiny unpack/prior/operand-prep ops plus a kernel
@@ -328,7 +328,10 @@ def make_mh_rounds(
 
     stash=True (TPU path only) additionally emits each accepted record's
     prediction factor [L | L^{-1}y | L^{-1}1] — free byproducts of the
-    factorization — replacing the posterior factor-cache rebuild.
+    factorization (row-scaled transpose convention, decode via
+    `predict.factors.decode_stash`) — replacing the posterior
+    factor-cache rebuild; since round 4 this covers the multi-tile core
+    too (assembled factors, 128 < n <= 1024).
     """
     from ccgp_tpu.utils import transforms
 
@@ -411,14 +414,14 @@ def make_mh_rounds(
         rr, kk = log_u.shape
         # 128 < n runs the blocked multi-tile Schur core up to the
         # dispatch envelope (dispatch_ok: n <= 1024, K <= 16,
-        # K*tiles^2 <= 256); its factor byproducts are partial, so stash
-        # stays single-tile
+        # K*tiles^2 <= 256); its ASSEMBLED factor byproducts support the
+        # stash at every size (round 4)
         from ccgp_tpu.ops.pallas_chol_smallk import dispatch_ok
         n = x.shape[-2]
         # whiten routes to the XLA fallback: the fused kernel's in-register
         # quadratics are the bordered form whiten exists to avoid
         if (not whiten and se_mix and jax.default_backend() == "tpu"
-                and dispatch_ok(n, kk) and (n <= 128 or not stash)):
+                and dispatch_ok(n, kk)):
             from ccgp_tpu.ops.pallas_chol_smallk import fused_mix_mh_rounds
 
             return fused_mix_mh_rounds(x, y, z, lp_val, lp_beta, sigma2,
@@ -431,8 +434,9 @@ def make_mh_rounds(
             # the caller with an opaque KeyError at trace time.
             raise ValueError(
                 f"make_mh_rounds(stash=True) requires the fused TPU "
-                f"kernel path (SE/SE mixture, n <= 128, K <= 16); got "
-                f"n={n}, K={kk}, backend={jax.default_backend()!r}")
+                f"kernel path (SE/SE mixture, dispatch_ok envelope: "
+                f"n <= 1024, K <= 16); got n={n}, K={kk}, "
+                f"backend={jax.default_backend()!r}")
 
         # XLA fallback: identical chain, scan over rounds
         dt = z.dtype

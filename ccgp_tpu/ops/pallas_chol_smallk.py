@@ -664,10 +664,22 @@ def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
     entries stay zero, the Schur dot contributes nothing to them, and
     every level sees the same identity pad the single-tile core expects.
     Non-PSD inputs surface as NaN through rsqrt exactly as in the
-    single-tile core. The returned factor byproducts (mfin, wy, wo) are
-    FIRST-PANEL PARTIAL values only — callers must NOT stash prediction
-    factors from this core (`fused_mix_mh_rounds` enforces stash=False
-    beyond one tile).
+    single-tile core.
+
+    Factor byproducts are ASSEMBLED for stashing (round 4): the returned
+    matrix's rows 0..127 are the full-width frozen panel (row j holds
+    d_j^{1/2} L[i, j] at lane i >= j — including the off-diagonal block,
+    since the panel downdate keeps frozen rows current over ALL lanes),
+    and rows >= 128 carry the recursion's assembled matrix in lanes
+    >= 128 (lanes < 128 zero — the lower-left block is never
+    materialized; its values live transposed in the first panel's
+    trailing lanes). The UPPER triangle is therefore complete at every
+    recursion depth: S[j, i] = d_j^{1/2} L[i, j] for all i >= j, which
+    is exactly what the row-scaled stash (`_make_mh_rounds_kernel`)
+    and its tril-of-transpose decode (`predict.factors.decode_stash`)
+    consume. wy/wo are assembled by disjoint-lane addition (each level
+    writes only its own t1 lanes, so x + 0 preserves every value up to
+    -0 -> +0, invisible to the numeric-equality gates).
     """
     ns, tile = m.shape[1], m.shape[-1]
     t1 = TILE
@@ -716,9 +728,19 @@ def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=dtype)                   # (K, t2, t2)
     s22 = m[:, t1:, t1:] - schur[:, :ns - t1, :]
-    ld2, qyy2, qoy2, qoo2, _, _, _ = _core_for(tile - t1)(
+    ld2, qyy2, qoy2, qoo2, mfin2, wy2, wo2 = _core_for(tile - t1)(
         s22, ry[:, :, t1:], ro[:, :, t1:], n - t1, kk, dtype)
-    return (ld + ld2, qyy + qyy2, qoy + qoy2, qoo + qoo2, m1, wy, wo)
+    # assemble the stashable factor matrix: upper triangle complete at
+    # every level (lower-left block stays zero — see docstring)
+    mlow = jnp.concatenate(
+        [jnp.zeros((kk, ns - t1, t1), dtype), mfin2], axis=2)
+    mfin = jnp.concatenate([m1, mlow], axis=1)
+    # levels write disjoint lanes of wy/wo (this level: lanes < t1 via
+    # iilane == j masks with j < t1; recursion: lanes >= t1), so the
+    # assembled vectors are exact disjoint-lane sums
+    wy = wy + jnp.concatenate([jnp.zeros((kk, 1, t1), dtype), wy2], axis=2)
+    wo = wo + jnp.concatenate([jnp.zeros((kk, 1, t1), dtype), wo2], axis=2)
+    return (ld + ld2, qyy + qyy2, qoy + qoy2, qoo + qoo2, mfin, wy, wo)
 
 
 # active single-tile core, used by every kernel directly and as the
@@ -1220,11 +1242,17 @@ def _make_mh_rounds_kernel(n: int, ndim: int, dim: int, kk: int,
             jnp.where(lane1 == 1, consumed, 0.0))
 
         if stash:
-            # diagonal row d_j -> column scaling m[:, j] * d_j^{-1/2}
-            diag = jnp.sum(jnp.where(row1 == lane1[0][None], msel, 0.0),
-                           axis=1, keepdims=True)       # (1, 1, tile)
-            dinvr = jax.lax.rsqrt(diag)
-            lsel = msel * dinvr
+            # ROW scaling by the pivot scale: stash[j, i] = S[j, i] *
+            # d_j^{-1/2} = L[i, j] for i >= j, so the decode is
+            # tril(transpose(stash)) — the one convention that works for
+            # BOTH the single-tile cores (S bit-symmetric) and the
+            # multi-tile assembled matrix (upper triangle complete,
+            # lower-left off-diagonal blocks zero); see
+            # predict.factors.decode_stash
+            diagc = jnp.sum(jnp.where(row1 == lane1, msel, 0.0),
+                            axis=2, keepdims=True)      # (1, ns2, 1)
+            dinvc = jax.lax.rsqrt(diagc)
+            lsel = msel * dinvc
             stash_ref[...] = jnp.where(
                 row1 == n, wysel,
                 jnp.where(row1 == n + 1, wosel, lsel))
@@ -1254,9 +1282,13 @@ def fused_mix_mh_rounds(
       acc       (R,) bool    per-round acceptance flags
       consumed  (R,) int32   proposals consumed per round
       z_fin (dim,), val_fin, beta_fin: state after all R rounds
-      stash     (R, ns2, 128) [L rows | L^{-1}y at row n | L^{-1}1 at
-                row n+1] of each round's accepted candidate (zeros when
-                rejected), when stash=True
+      stash     (R, ns2, tile) row-scaled factor rows: stash[j, i] =
+                L[i, j] for i >= j (decode: tril of the transpose, see
+                `predict.factors.decode_stash`), L^{-1}y at row n,
+                L^{-1}1 at row n+1, of each round's accepted candidate
+                (NaN/garbage when rejected — never selected), when
+                stash=True; works at every kernel size incl. the
+                multi-tile blocked-Schur core (assembled factors)
 
     The caller (infer/metropolis.py body_chunk) scatters accepted rows
     into its record buffer and applies caps / Geweke stopping / truncation
@@ -1277,11 +1309,6 @@ def fused_mix_mh_rounds(
     if tile > MAX_N:
         raise ValueError(
             f"n must be <= {MAX_N} for the multi-round kernel")
-    if stash and tile > TILE:
-        # the blocked multi-tile core's factor byproducts are first-
-        # panel partial values (see _chol_quad_core_multitile) — no stash
-        # beyond one tile
-        raise ValueError(f"stash=True needs n <= {TILE}")
     if d > TILE:
         raise ValueError(f"d must be <= {TILE}")
     ns2 = -(-(n + 2) // 8) * 8 if stash else -(-n // 8) * 8

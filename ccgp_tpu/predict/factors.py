@@ -33,6 +33,21 @@ from ccgp_tpu.models.combination import MixtureSpec, MixParams, mixed_gram, unpa
 from ccgp_tpu.ops import linalg
 
 
+def decode_stash(fac: jnp.ndarray, n: int):
+    """Decode sampler-stashed factor rows into (chol, wy, wo).
+
+    `fac` is (m, ns2, tile) from `ops.pallas_chol_smallk.
+    fused_mix_mh_rounds(stash=True)`: row j holds the ROW-scaled
+    factorization row stash[j, i] = L[i, j] for i >= j (so the factor is
+    read off as the tril of the TRANSPOSE — the one convention valid for
+    both the bit-symmetric single-tile matrix and the multi-tile
+    assembled matrix whose lower-left off-diagonal blocks are zero),
+    row n is L^{-1}y and row n+1 is L^{-1}1.
+    """
+    chol = jnp.tril(jnp.swapaxes(fac[:, :n, :n], -1, -2))
+    return chol, fac[:, n, :n], fac[:, n + 1, :n]
+
+
 class FactorCache(NamedTuple):
     chol: jnp.ndarray    # (m, n, n)
     a: jnp.ndarray       # (m, n)  whitened centered data

@@ -141,9 +141,9 @@ def main():
         hi = jnp.maximum(res.n_recorded - 1, 0)
         idx = jnp.clip(res.n_recorded - cfg.net_samp_size
                        + jnp.arange(cfg.net_samp_size), 0, hi)
-        fac = res.factors[idx]
-        chol = jnp.tril(fac[:, :n_train, :n_train])
-        wy, wo = fac[:, n_train, :n_train], fac[:, n_train + 1, :n_train]
+        from ccgp_tpu.predict.factors import decode_stash
+
+        chol, wy, wo = decode_stash(res.factors[idx], n_train)
         params, _ = jax.vmap(lambda z: unpack(spec, z))(zs)
         cache = FactorCache(chol=chol, a=wy - betas[:, None] * wo, u=wo,
                             beta=betas, params=params)

@@ -28,7 +28,10 @@ from ccgp_tpu.utils.cache import enable_persistent_cache
 # compile time dominates the default lane (e2e tests re-trace the MCMC
 # while-loop per config); the persistent cache makes repeat local runs
 # pay steady-state only. Cold first runs (the judge's) are unaffected.
-enable_persistent_cache()
+# CCGP_CACHE_DIR points the lane at an alternate cache, so cold-cache
+# verification runs (empty throwaway dir) don't delete the repo cache's
+# TPU entries, whose re-warm costs a 10-15 min remote Mosaic compile.
+enable_persistent_cache(os.environ.get("CCGP_CACHE_DIR"))
 
 
 def pytest_configure(config):

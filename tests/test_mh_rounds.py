@@ -96,6 +96,47 @@ def test_chunked_nmax_cap(problem):
     assert int(r1.n_recorded) == 37
 
 
+def test_capped_stash_overflow_flag(problem):
+    """Capped stash buffer (round 4, multi-tile sizes): rows land at
+    record positions while capacity holds (factors_ok True); a chain
+    whose chunks could write past the cap flips factors_ok False —
+    without changing the chain itself."""
+    _, _, _, _, lp, lpb, rounds, _ = problem
+    rows, lanes = 8, 128
+
+    def rounds_stash(z, lpv, lpb_, deltas, log_u):
+        out = dict(rounds(z, lpv, lpb_, deltas, log_u))
+        rr = log_u.shape[0]
+        # synthetic stash: each round's row is filled with its post-state
+        # logpost, so landed rows are checkable against the record buffer
+        out["stash"] = jnp.broadcast_to(
+            out["rec"][:, -1][:, None, None], (rr, rows, lanes))
+        return out
+
+    start = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    key = jax.random.PRNGKey(3)
+    # alpha_geweke=2.0: the Geweke p-value can never reach it, so the
+    # chain runs to n_max — guaranteeing it records past the cap below
+    kw = dict(speculative=4, n_max=300, samp_size=30, batch_size=20,
+              alpha_geweke=2.0, rounds_per_call=16, stash_rows=rows,
+              stash_lanes=lanes)
+    r_ok = metropolis(lp, start, key, mh_rounds=rounds_stash,
+                      stash_cap=None, **kw)
+    assert r_ok.factors is not None
+    assert bool(r_ok.factors_ok)
+    n = int(r_ok.n_recorded)
+    assert n == 300
+    assert np.array_equal(np.asarray(r_ok.factors[:n, 0, 0]),
+                          np.asarray(r_ok.logposts[:n]))
+
+    # cap 130 (>= the structural RW+1 floor, < the 300 the chain records)
+    r_bad = metropolis(lp, start, key, mh_rounds=rounds_stash,
+                       stash_cap=130, **kw)
+    assert r_bad.factors.shape[0] == 130
+    assert not bool(r_bad.factors_ok)
+    _assert_identical(r_ok, r_bad)
+
+
 def test_warm_phase_equals_sequential(problem):
     # rounds_per_call_warm < samp_size so the check-free warm loop
     # actually executes, covering the warm -> check-aware handoff: the
@@ -239,12 +280,17 @@ def test_rounds_kernel_interpret_matches_fallback(problem):
     assert np.allclose(np.asarray(ref["z_fin"]), np.asarray(out["z_fin"]),
                        atol=1e-9)
 
-    # stash: accepted rounds' rows must be the Cholesky factors + whitened
-    # vectors of that round's accepted state's Gram
+    # stash: accepted rounds' rows must decode (tril-of-transpose row-
+    # scaled convention, predict.factors.decode_stash) to the Cholesky
+    # factors + whitened vectors of that round's accepted state's Gram
+    from ccgp_tpu.predict.factors import decode_stash
+
     n = x.shape[0]
     acc = np.asarray(out["acc"])
     rec = np.asarray(out["rec"])[acc]
-    stash = np.asarray(out["stash"])[acc]
+    stash_chol, stash_wy, stash_wo = (
+        np.asarray(v) for v in decode_stash(
+            jnp.asarray(np.asarray(out["stash"])[acc]), n))
     n_acc = int(acc.sum())
     assert n_acc >= 1
     for i in range(n_acc):
@@ -252,14 +298,12 @@ def test_rounds_kernel_interpret_matches_fallback(problem):
         params, _ = unpack(spec, zs)
         g = mixed_gram(spec, x, params)
         chol = np.asarray(linalg.jitter_cholesky(g, 1e-9))
-        got = np.tril(stash[i, :n, :n])
+        got = stash_chol[i]
         assert np.allclose(got, chol, atol=1e-6), i
-        wy = np.asarray(
-            jnp.linalg.solve(jnp.asarray(chol), np.asarray(y)))
-        assert np.allclose(stash[i, n, :n],
+        assert np.allclose(stash_wy[i],
                            np.asarray(jax.scipy.linalg.solve_triangular(
                                jnp.asarray(chol), y, lower=True)), atol=1e-6)
-        assert np.allclose(stash[i, n + 1, :n],
+        assert np.allclose(stash_wo[i],
                            np.asarray(jax.scipy.linalg.solve_triangular(
                                jnp.asarray(chol), jnp.ones_like(y),
                                lower=True)), atol=1e-6)
@@ -267,10 +311,11 @@ def test_rounds_kernel_interpret_matches_fallback(problem):
 
 @pytest.mark.slow
 def test_rounds_kernel_two_tile_interpret_matches_fallback():
-    """128 < n <= 256 (no stash): the two-tile blocked-Schur kernel path
-    must agree with the XLA fallback on records, flags and final state
-    (slow: the unrolled two-tile interpret program is a multi-minute CPU
-    compile)."""
+    """128 < n <= 256 WITH stash: the two-tile blocked-Schur kernel path
+    must agree with the XLA fallback on records, flags and final state,
+    and its ASSEMBLED multi-tile stash must decode to the accepted
+    candidates' true factors (slow: the unrolled two-tile interpret
+    program is a multi-minute CPU compile)."""
     spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
                        dim=2, rough="tied", anisotropic=True)
     rng = np.random.default_rng(5)
@@ -304,7 +349,7 @@ def test_rounds_kernel_two_tile_interpret_matches_fallback():
     sk.fused_mix_mh_rounds = spy
     orig_backend = _jax.default_backend
     try:
-        rounds_k = _lk.make_mh_rounds(spec, x, y, s2, stash=False, **kw)
+        rounds_k = _lk.make_mh_rounds(spec, x, y, s2, stash=True, **kw)
         _jax.default_backend = lambda: "tpu"
         out = rounds_k(z, lpv, lpb, deltas, log_u)
     finally:
@@ -318,7 +363,33 @@ def test_rounds_kernel_two_tile_interpret_matches_fallback():
                        rtol=1e-6, atol=1e-6)
     assert np.allclose(np.asarray(ref["z_fin"]), np.asarray(out["z_fin"]),
                        rtol=1e-6, atol=1e-6)
-    assert "stash" not in out
+
+    # the assembled multi-tile stash decodes to the true factors of the
+    # accepted candidates' Grams
+    from ccgp_tpu.models.combination import mixed_gram, unpack
+    from ccgp_tpu.ops import linalg
+    from ccgp_tpu.predict.factors import decode_stash
+
+    n = x.shape[0]
+    acc = np.asarray(out["acc"])
+    assert int(acc.sum()) >= 1
+    rec = np.asarray(out["rec"])[acc]
+    st_chol, st_wy, st_wo = (
+        np.asarray(v) for v in decode_stash(
+            jnp.asarray(np.asarray(out["stash"])[acc]), n))
+    for i in range(int(acc.sum())):
+        params, _ = unpack(spec, jnp.asarray(rec[i, :dim]))
+        g = mixed_gram(spec, x, params)
+        chol = np.asarray(linalg.jitter_cholesky(g, 1e-6))
+        assert np.allclose(st_chol[i], chol, rtol=2e-5, atol=2e-5), i
+        assert np.allclose(st_wy[i],
+                           np.asarray(jax.scipy.linalg.solve_triangular(
+                               jnp.asarray(chol), y, lower=True)),
+                           rtol=1e-4, atol=1e-4)
+        assert np.allclose(st_wo[i],
+                           np.asarray(jax.scipy.linalg.solve_triangular(
+                               jnp.asarray(chol), jnp.ones_like(y),
+                               lower=True)), rtol=1e-4, atol=1e-4)
 
 
 def test_stash_requires_fused_kernel_path(problem):

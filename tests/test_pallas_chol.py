@@ -372,22 +372,18 @@ def test_smallk_two_tile_interpret_matches_xla(rng, no_cache_writes):
                            rtol=1e-7), k
 
 
-def test_rounds_kernel_multitile_stash_rejected():
-    """The blocked multi-tile core's factor byproducts are first-panel
-    partial values: stash must be refused beyond one tile, and n > MAX_N
-    (8 tiles) is out of range entirely."""
+def test_rounds_kernel_beyond_envelope_rejected():
+    """n > MAX_N (8 tiles) is out of the multi-round kernel's range
+    entirely (stash at 128 < n <= MAX_N is supported since round 4 —
+    the multi-tile core returns ASSEMBLED factors)."""
     import pytest as _pytest
 
     from ccgp_tpu.ops.pallas_chol_smallk import MAX_N, fused_mix_mh_rounds
 
-    x = jnp.zeros((150, 2))
-    y = jnp.zeros((150,))
     deltas = jnp.zeros((8, 4))
     log_u = jnp.zeros((2, 4))
-    args = (x, y, jnp.zeros(4), 0.0, 0.0, 1.0, deltas, log_u, None)
-    with _pytest.raises(ValueError, match="stash"):
-        fused_mix_mh_rounds(*args, stash=True)
-    big = (jnp.zeros((MAX_N + 1, 2)), jnp.zeros((MAX_N + 1,))) + args[2:]
+    args = (jnp.zeros(4), 0.0, 0.0, 1.0, deltas, log_u, None)
+    big = (jnp.zeros((MAX_N + 1, 2)), jnp.zeros((MAX_N + 1,))) + args
     with _pytest.raises(ValueError, match="multi-round"):
         fused_mix_mh_rounds(*big)
 
