@@ -33,6 +33,25 @@ from ccgp_tpu.utils.cache import enable_persistent_cache
 # TPU entries, whose re-warm costs a 10-15 min remote Mosaic compile.
 enable_persistent_cache(os.environ.get("CCGP_CACHE_DIR"))
 
+# The default lane READS the persistent cache but never WRITES it.
+# Writing means calling XLA's native `executable.serialize()` in-process;
+# after hundreds of prior compiles that call segfaults the interpreter
+# (heap corruption detonating inside the serializer — observed 2/2 cold
+# full-lane runs in the round-3 verdict at tests/test_pallas_chol.py, and
+# again in round 4 at tests/test_models.py AFTER those tests' writes were
+# disabled: the detonation site moves with the write schedule, so no
+# per-test fixture can pin it down). A native crash cannot be caught, so
+# the lane-level fix is to never serialize at all: cold runs pay their
+# compiles (in-process cached) and write nothing; warm runs read the
+# entries `scripts/warm_test_cache.py` produced from SHORT-LIVED pytest
+# subprocesses (one per test file, writes re-enabled via
+# CCGP_CACHE_WRITES=1 — short process history keeps the serializer safe).
+if not os.environ.get("CCGP_CACHE_WRITES"):
+    from jax._src import compilation_cache as _cc
+
+    _cc.put_executable_and_time = (
+        lambda cache_key, module_name, executable, backend, compile_time: None)
+
 
 def pytest_configure(config):
     config.addinivalue_line(
