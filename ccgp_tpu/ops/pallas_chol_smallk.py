@@ -546,6 +546,72 @@ def _chol_quad_core_shrink(m, ry, ro, n: int, kk: int, dtype):
     return ld, qyy, qoy, qoo, jnp.concatenate(slabs, axis=1), wy, wo
 
 
+def _chol_quad_core_shrink2(m, ry, ro, n: int, kk: int, dtype):
+    """Shrink core with the fused [y, 1] substitution STACKED: ry/ro ride
+    one (K, 2, tile) block, so each step pays ONE lane-masked reduce, ONE
+    dinv scale, ONE lane-masked w write and ONE fma where the row-by-row
+    formulation paid two of each.
+
+    MEASURED VERDICT (v5e, scripts/ab_mhrounds_core.py, 15-rep slope):
+    shrink 15.7 / shrink2 15.7 us/round — a WASH. A (K, 1, 128) op
+    already issues K vregs (the (rows, 128) minor block pads to an
+    (8, 128) vreg either way) and the VPU bills vregs, not op count, so
+    folding two 1-row ops into one 2-row op moves nothing. Kept as a
+    tested exploration; `_SINGLE_CORE` stays on `shrink`. The same
+    session measured +-1 us/round RUN-TO-RUN spread across the whole
+    core table (DESIGN.md round-4 cont.), so sub-us core differences
+    are below the measurement floor; scripts/probe_round_cost.py
+    attributes the n=100 round as ~1.6 us fixed grid-step overhead +
+    ~10.8 us linear per-step work + ~3.3 us quadratic downdate/Gram.
+
+    Bit-exactness vs `_chol_quad_core_shrink`: every op on the stack is
+    row-independent (lane-masked sums add zeros, the dinv broadcast and
+    the llane*rj fma multiply the same per-row operands in the same
+    order), so row 0 reproduces ry's and row 1 ro's sequence exactly.
+    The final wy/wo split is a sublane-masked reduce over exactly one
+    nonzero row (exact; float middle-axis reduces of 2-sublane stacks
+    lower fine HERE — the (n, 2, B) failures in the working notes were
+    offset-layout tiled axes, this stack is layout-native). Gates:
+    interpret-mode equality in tests/test_pallas_chol.py, on-chip
+    full-output A/B in scripts/ab_mhrounds_core.py.
+    """
+    ns, tile = m.shape[1], m.shape[-1]
+    iilane = jax.lax.broadcasted_iota(jnp.int32, (kk, 1, tile), 2)
+    nsl = (ns + 7) // 8
+    slabs = [m[:, 8 * t:min(8 * t + 8, ns), :] for t in range(nsl)]
+    irows = [8 * t + jax.lax.broadcasted_iota(
+        jnp.int32, (kk, slabs[t].shape[1], 1), 1) for t in range(nsl)]
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (kk, 2, 1), 1)
+
+    ryo = jnp.concatenate([ry, ro], axis=1)             # (K, 2, tile)
+    w = jnp.zeros((kk, 2, tile), dtype)
+    ld = jnp.zeros((kk, 1, 1), dtype)
+    for j in range(n):
+        si = j // 8
+        clane = jnp.sum(jnp.where(irows[si] == j, slabs[si], 0.0), axis=1,
+                        keepdims=True)                  # (K, 1, N)
+        d2 = jnp.sum(jnp.where(iilane == j, clane, 0.0), axis=2,
+                     keepdims=True)                     # (K, 1, 1)
+        dinv = jax.lax.rsqrt(d2)
+        ld = ld + jnp.log(d2)
+        llane = jnp.where(iilane > j, clane, 0.0) * dinv
+        for t in range(si, nsl):
+            crow = jnp.sum(jnp.where(iilane == j, slabs[t], 0.0), axis=2,
+                           keepdims=True)               # (K, 8, 1)
+            lrow = jnp.where(irows[t] > j, crow, 0.0) * dinv
+            slabs[t] = slabs[t] - lrow * llane
+        rj = jnp.sum(jnp.where(iilane == j, ryo, 0.0), axis=2,
+                     keepdims=True) * dinv              # (K, 2, 1)
+        w = jnp.where(iilane == j, rj, w)
+        ryo = ryo - llane * rj
+    wy = jnp.sum(jnp.where(i2 == 0, w, 0.0), axis=1, keepdims=True)
+    wo = jnp.sum(jnp.where(i2 == 1, w, 0.0), axis=1, keepdims=True)
+    qyy = jnp.sum(wy * wy, axis=2, keepdims=True)
+    qoy = jnp.sum(wy * wo, axis=2, keepdims=True)
+    qoo = jnp.sum(wo * wo, axis=2, keepdims=True)
+    return ld, qyy, qoy, qoo, jnp.concatenate(slabs, axis=1), wy, wo
+
+
 def _chol_quad_core_pipe(m, ry, ro, n: int, kk: int, dtype):
     """Software-PIPELINED shrink core: the per-step serial chain
     (pivot-row extract -> lane-reduce d2 -> rsqrt -> scaled row) is fed by

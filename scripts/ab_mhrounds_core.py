@@ -28,7 +28,11 @@ RW = 120   # bench warm-chunk rounds per launch
 KK = 4     # speculative candidates per round
 
 
-def slope_us_per_round(fn, args, k1=2, k2=10, reps=5):
+def slope_us_per_round(fn, args, k1=2, k2=22, reps=15):
+    """Min- and median-composed slope (us/round). Single-digit-rep
+    protocols could not separate the cores: back-to-back runs moved every
+    core by ~+-1 us/round (axon dispatch jitter), so report both a noise
+    floor (min) and a typical value (median of paired slopes)."""
     import jax
 
     jax.block_until_ready(fn(*args))       # compile
@@ -42,9 +46,12 @@ def slope_us_per_round(fn, args, k1=2, k2=10, reps=5):
         return time.perf_counter() - t0
 
     run_batch(1)
-    t1 = min(run_batch(k1) for _ in range(reps))
-    t2 = min(run_batch(k2) for _ in range(reps))
-    return (t2 - t1) / (k2 - k1) / RW * 1e6
+    t1s = [run_batch(k1) for _ in range(reps)]
+    t2s = [run_batch(k2) for _ in range(reps)]
+    lo = (min(t2s) - min(t1s)) / (k2 - k1) / RW * 1e6
+    med = float(np.median([(b - a) / (k2 - k1) / RW * 1e6
+                           for a, b in zip(t1s, t2s)]))
+    return lo, med
 
 
 def main():
@@ -88,7 +95,12 @@ def main():
              ("fused", smallk._chol_quad_core_rowslab_fused),
              ("sym", smallk._chol_quad_core_rowslab_sym),
              ("shrink", smallk._chol_quad_core_shrink),
+             ("shrink2", smallk._chol_quad_core_shrink2),
              ("pipe", smallk._chol_quad_core_pipe)]
+    only = sys.argv[1:]
+    if only:
+        keep = set(only) | {"rank1"}       # rank1 is the equality reference
+        cores = [c for c in cores if c[0] in keep]
 
     outs, times = {}, {}
     for name, core in cores:
@@ -106,14 +118,15 @@ def main():
         args = (z0, lp_val, lp_beta, deltas, log_u)
         out = jax.block_until_ready(fj(*args))
         outs[name] = {k: np.asarray(v) for k, v in out.items()}
-        times[name] = slope_us_per_round(fj, args)
-        print(f"{name:8s}  {times[name]:7.2f} us/round  "
+        lo, med = slope_us_per_round(fj, args)
+        times[name] = (lo, med)
+        print(f"{name:8s}  min {lo:6.2f} / med {med:6.2f} us/round  "
               f"(acc={int(outs[name]['acc'].sum())}, "
               f"consumed={int(outs[name]['consumed'].sum())})")
     smallk._SINGLE_CORE = smallk._chol_quad_core_shrink
 
     ok = True
-    for other in ("rowslab", "fused", "sym", "shrink", "pipe"):
+    for other in [nm for nm, _ in cores if nm != "rank1"]:
         for k in outs["rank1"]:
             if not np.array_equal(outs["rank1"][k], outs[other][k],
                                   equal_nan=True):

@@ -79,22 +79,18 @@ def rng():
 
 @pytest.fixture
 def no_cache_writes():
-    """Disable the persistent compile cache around GIANT interpret-mode
-    compiles (the fully-unrolled multitile smallk programs at n>128).
+    """Historical marker for tests with GIANT interpret-mode compiles.
 
-    Serializing those executables for the cache (`jax/_src/
-    compilation_cache.py put_executable_and_time` -> native
-    `executable.serialize()` + zstd) segfaulted the interpreter on a cold
-    cache once hundreds of earlier compiles had built up process memory —
-    2/2 cold full-lane runs died there (round-3 verdict). The crash is in
-    native code, so it cannot be caught; the fix is to not serialize those
-    executables at all. Each affected test pays its (in-process-cached)
-    compile once per run instead — measured seconds, not minutes — and the
-    cold default lane survives.
+    Round 4 originally disabled the persistent cache around these tests
+    because serializing their executables (`put_executable_and_time` ->
+    native `executable.serialize()`) segfaulted cold full-lane runs. The
+    detonation site then moved to OTHER tests' writes (round-4 verdict
+    follow-up), so the lane now no-ops ALL cache writes at import time
+    (above) — which also makes this fixture's cache-off window obsolete:
+    keeping the cache ON lets these tests READ the entries
+    `scripts/warm_test_cache.py` produced, the only thing that makes
+    their minutes-long compiles fast on a warm machine. Reads never
+    crashed (round-3's warm lanes deserialized these same entries
+    green); only in-process serialization did.
     """
-    old = jax.config.jax_enable_compilation_cache
-    jax.config.update("jax_enable_compilation_cache", False)
-    try:
-        yield
-    finally:
-        jax.config.update("jax_enable_compilation_cache", old)
+    yield

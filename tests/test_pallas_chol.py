@@ -429,23 +429,37 @@ def test_single_core_bit_identical(rng, monkeypatch, no_cache_writes):
     """Every single-tile core formulation — rowslab, its fused-pivot
     refinement, the shrinking-window core (skips downdates of finalized
     8-row slabs: the skipped write is `m - 0*llane`, value-preserving),
-    and the software-pipelined core (carries the corrected next pivot row,
-    bit-equal by active-block symmetry) — computes every value with
-    arithmetic identical to the rank-1 core, so outputs must be
-    BIT-identical (np.array_equal: numeric equality, -0 == +0) — here in
-    interpret mode at one-tile and multitile (recursion base) sizes; the
-    on-chip gate is scripts/verify_rowslab_tpu.py."""
+    the stacked-substitution shrink2, and the software-pipelined core
+    (carries the corrected next pivot row, bit-equal by active-block
+    symmetry) — computes every value with arithmetic identical to the
+    rank-1 core, so outputs must be BIT-identical (np.array_equal:
+    numeric equality, -0 == +0).
+
+    Equality MUST be asserted through the compiled (interpret-mode)
+    pallas_call, not by calling the cores eagerly: op-by-op dispatch
+    lets XLA fuse `m - lrow*llane` into an fma (one rounding) or not,
+    PER formulation, so eager outputs differ in ULPs while the compiled
+    kernels agree (measured: rank-1 vs rowslab eager deltas ~5e-15 at
+    n=7 f64). Interpret compiles of the big sizes cost ~1-2 min per
+    core, so the sweep runs every core at the small sizes and only the
+    DEFAULT core at the multi-slab/multitile-base sizes; the on-chip
+    gate is scripts/verify_rowslab_tpu.py + scripts/ab_mhrounds_core.py
+    (full-output equality at the bench shape for every core)."""
     import ccgp_tpu.ops.pallas_chol_smallk as smallk
 
-    for n in (7, 40, 100, 200):
+    all_cores = (smallk._chol_quad_core_rowslab,
+                 smallk._chol_quad_core_rowslab_fused,
+                 smallk._chol_quad_core_shrink,
+                 smallk._chol_quad_core_shrink2,
+                 smallk._chol_quad_core_pipe)
+    for n, cores in ((7, all_cores), (40, all_cores),
+                     (100, (smallk._chol_quad_core_shrink,)),
+                     (200, (smallk._chol_quad_core_shrink,))):
         grams, y = _batch(rng, b=4, n=n)
         monkeypatch.setattr(smallk, "_SINGLE_CORE", smallk._chol_quad_core)
         qa = smallk.chol_quadratics_smallk(grams, y, jitter=1e-8,
                                            interpret=True)
-        for core in (smallk._chol_quad_core_rowslab,
-                     smallk._chol_quad_core_rowslab_fused,
-                     smallk._chol_quad_core_shrink,
-                     smallk._chol_quad_core_pipe):
+        for core in cores:
             monkeypatch.setattr(smallk, "_SINGLE_CORE", core)
             qb = smallk.chol_quadratics_smallk(grams, y, jitter=1e-8,
                                                interpret=True)
