@@ -748,6 +748,22 @@ def _chol_quad_core_multitile(m, ry, ro, n: int, kk: int, dtype):
     -0 -> +0, invisible to the numeric-equality gates).
     """
     ns, tile = m.shape[1], m.shape[-1]
+    if ns > tile:
+        # stash callers append wy/wo landing rows (pad8(n+2) rows) that
+        # can overshoot the lane tile when n sits at / one below a tile
+        # multiple (n=255/256, 383/384, ...). Those rows are ALL-ZERO in
+        # every caller (the rounds kernel's eye mask can't place a 1 at
+        # lane >= tile) and carry no factor content — factor the
+        # tile-square part and re-append zero rows so the stash write
+        # lands on well-defined slots. Found by the round-4 scaling
+        # sweep: the n=300 on-chip stash gate missed the boundary and
+        # n=256 crashed at trace time (s22 row mismatch).
+        extra = ns - tile
+        ld, qyy, qoy, qoo, mfin, wy, wo = _chol_quad_core_multitile(
+            m[:, :tile, :], ry, ro, n, kk, dtype)
+        mfin = jnp.concatenate(
+            [mfin, jnp.zeros((kk, extra, tile), dtype)], axis=1)
+        return ld, qyy, qoy, qoo, mfin, wy, wo
     t1 = TILE
     m1 = m[:, :t1, :]                                   # (K, 128, tile)
     iirow1 = jax.lax.broadcasted_iota(jnp.int32, (kk, t1, 1), 1)

@@ -466,3 +466,88 @@ def test_single_core_bit_identical(rng, monkeypatch, no_cache_writes):
             for k in qa:
                 assert np.array_equal(np.asarray(qa[k]),
                                       np.asarray(qb[k])), (core, n, k)
+
+
+def test_multitile_core_stash_overshoot_rows(rng):
+    """Rows > lane-tile in the multitile core: stash callers append wy/wo
+    landing rows (pad8(n+2)) that overshoot the lane width exactly when n
+    sits at / one below a tile multiple (n=255/256, 383/384, ...). The
+    round-4 scaling sweep crashed at trace time on n=256 (the n=300
+    on-chip gate missed the boundary); this pins the fix — the all-zero
+    overshoot rows pass through as zeros and the factor quadratics match
+    a dense f64 reference."""
+    import ccgp_tpu.ops.pallas_chol_smallk as smallk
+
+    for n in (255, 256, 384):
+        tile = -(-n // smallk.TILE) * smallk.TILE
+        ns = -(-(n + 2) // 8) * 8               # the rounds kernel's ns2
+        assert ns > tile or n == 384            # 384+2 pads to 392 > 384
+        ns = max(ns, tile + 8)                  # force the overshoot path
+        b = 2
+        a = rng.normal(size=(b, n, n))
+        g = np.einsum("kij,kpj->kip", a, a) + n * np.eye(n)  # well-cond SPD
+        m = np.zeros((b, ns, tile))
+        for k in range(b):
+            m[k, :n, :n] = g[k]
+            for j in range(n, tile):
+                m[k, j, j] = 1.0                # identity pad inside tile
+        ry = np.zeros((b, 1, tile))
+        ry[:, 0, :n] = rng.normal(size=n)
+        ro = np.zeros((b, 1, tile))
+        ro[:, 0, :n] = 1.0
+        ld, qyy, qoy, qoo, mfin, wy, wo = smallk._chol_quad_core_multitile(
+            jnp.asarray(m), jnp.asarray(ry), jnp.asarray(ro), n, b,
+            jnp.float64)
+        # overshoot rows come back as zeros; quadratics match dense f64
+        assert mfin.shape == (b, ns, tile)
+        assert np.all(np.asarray(mfin)[:, tile:, :] == 0.0)
+        for k in range(b):
+            chol = np.linalg.cholesky(m[k, :n, :n])
+            from scipy.linalg import solve_triangular
+            wyr = solve_triangular(chol, ry[k, 0, :n], lower=True)
+            wor = solve_triangular(chol, ro[k, 0, :n], lower=True)
+            assert np.allclose(float(ld[k, 0, 0]),
+                               2 * np.log(np.diag(chol)).sum(), rtol=1e-9)
+            assert np.allclose(float(qyy[k, 0, 0]), wyr @ wyr, rtol=1e-8)
+            assert np.allclose(float(qoy[k, 0, 0]), wor @ wyr, rtol=1e-6,
+                               atol=1e-10)
+            assert np.allclose(float(qoo[k, 0, 0]), wor @ wor, rtol=1e-8)
+
+
+def test_rounds_kernel_traces_at_tile_boundary_with_stash():
+    """make_mh_rounds' kernel path must TRACE at the stash-overshoot
+    boundary sizes (jax.eval_shape: no compile, catches exactly the
+    class of crash the round-4 sweep hit at n=256)."""
+    import jax as _jax
+
+    import ccgp_tpu.models.likelihood as _lk
+    import ccgp_tpu.ops.pallas_chol_smallk as sk
+    from ccgp_tpu.models import InverseGamma, LogNormal, MixtureSpec
+
+    spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
+                       dim=2, rough="tied", anisotropic=True)
+    rng = np.random.default_rng(0)
+    n = 256
+    x = jnp.asarray(rng.uniform(size=(n, 2)))
+    y = jnp.sin(3 * x[:, 0])
+    R, K, dim = 4, 4, 4
+    f32 = jnp.float32
+    orig_backend = _jax.default_backend
+    try:
+        # the kernel-vs-fallback dispatch reads the backend at CALL time
+        _jax.default_backend = lambda: "tpu"
+        rounds_k = _lk.make_mh_rounds(
+            spec, x, y, jnp.asarray(0.05), stash=True,
+            theta1_prior=LogNormal(-1, 1), theta2_prior=InverseGamma(3, 4),
+            jitter=1e-6)
+        out = jax.eval_shape(
+            rounds_k,
+            jax.ShapeDtypeStruct((dim,), f32),
+            jax.ShapeDtypeStruct((), f32),
+            jax.ShapeDtypeStruct((), f32),
+            jax.ShapeDtypeStruct((R * K, dim), f32),
+            jax.ShapeDtypeStruct((R, K), f32))
+    finally:
+        _jax.default_backend = orig_backend
+    ns2 = -(-(n + 2) // 8) * 8
+    assert out["stash"].shape == (R, ns2, 256)
