@@ -244,7 +244,7 @@ def main():
         pred = predict_combined_gp(spec, fit, x, grid, kp)
         return (pred.mean, pred.lower, pred.upper, fit.chain_ok,
                 fit.mcmc.n_recorded, fit.mcmc.n_proposals, fit.sigma2,
-                fit.zs)
+                fit.zs, fit.mcmc.n_rounds)
 
     bayes_j = jax.jit(bayes_fit_predict)
     # threefry PRNGKey(7): the stream this metric has used since round 1,
@@ -269,7 +269,8 @@ def main():
     bayes_ms = float(np.median(bayes_slopes))
     bayes_spread = float(bayes_slopes[-1] - bayes_slopes[0])
 
-    b_mean, b_lo, b_hi, b_ok, b_nrec, b_nprop, _, b_zs = bres
+    (b_mean, b_lo, b_hi, b_ok, b_nrec, b_nprop, _, b_zs,
+     b_nrounds) = bres
     b_mean = np.asarray(b_mean)
     assert np.isfinite(b_mean).all()
     b_rmspe = float(np.sqrt(np.mean((y_true - b_mean) ** 2)))
@@ -305,6 +306,9 @@ def main():
             "coverage95": round(cover, 3),
             "n_recorded": int(b_nrec),
             "n_proposals": int(b_nprop),
+            "n_rounds": int(b_nrounds),
+            "us_per_round": round(bayes_ms * 1e3 / max(int(b_nrounds), 1),
+                                  2),
             "converged": bool(b_ok),
             "min_ess": round(b_min_ess, 1),
         },

@@ -69,6 +69,13 @@ class MetropolisResult(NamedTuple):
     # and consumers must rebuild factors classically; None when factors
     # is None
     factors_ok: jnp.ndarray | None = None
+    # speculative ROUNDS executed (each evaluates all K candidates as one
+    # batched kernel step regardless of how many proposals it consumes) —
+    # the honest kernel-work unit for perf tables: n_proposals counts
+    # CONSUMED candidates (up to the first acceptance), so high-acceptance
+    # chains make ms/proposal overstate kernel cost. None for the plain
+    # K=1 driver, where rounds == n_proposals
+    n_rounds: jnp.ndarray | None = None
 
     def retained(self, samp_size: int):
         """Last `samp_size` recorded draws — the reference's
@@ -215,11 +222,12 @@ def metropolis(
         return geweke_pvalue(window[:, :dim])
 
     def cond(state):
-        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = state
+        k_rec, n_prop, pv = state[1], state[2], state[8]
         return (k_rec < n_max) & (pv < alpha_geweke) & (n_prop < max_proposals)
 
     def body(state):
-        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = state
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv,
+         n_rnd) = state
         key, k1, k2 = jax.random.split(key, 3)
         eps = jax.random.normal(k1, (dim,), dtype)
         cand = z + prop_chol @ eps
@@ -243,12 +251,13 @@ def metropolis(
         check = rec & (k_rec >= samp_size) & (k_rec % batch_size == 0)
         pv = jax.lax.cond(check, lambda: do_geweke(P, k_rec), lambda: pv)
         return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
-                P, pv)
+                P, pv, n_rnd + 1)
 
     K = int(speculative) if speculative else 1
 
     def body_spec(state):
-        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = state
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv,
+         n_rnd) = state
         key, k1, k2 = jax.random.split(key, 3)
         eps = jax.random.normal(k1, (K, dim), dtype)
         cands = z[None, :] + eps @ prop_chol.T
@@ -275,10 +284,11 @@ def metropolis(
         check = any_acc & (k_rec >= samp_size) & (k_rec % batch_size == 0)
         pv = jax.lax.cond(check, lambda: do_geweke(P, k_rec), lambda: pv)
         return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
-                P, pv)
+                P, pv, n_rnd + 1)
 
     def body_mh(state):
-        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = state
+        (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv,
+         n_rnd) = state
         key, k1, k2 = jax.random.split(key, 3)
         eps = jax.random.normal(k1, (K, dim), dtype)
         cands = z[None, :] + eps @ prop_chol.T
@@ -295,7 +305,7 @@ def metropolis(
         check = any_acc & (k_rec >= samp_size) & (k_rec % batch_size == 0)
         pv = jax.lax.cond(check, lambda: do_geweke(P, k_rec), lambda: pv)
         return (key, k_rec, n_prop, n_acc, z_new, val_new, beta_new,
-                P, pv)
+                P, pv, n_rnd + 1)
 
     # ---- chunked multi-round driver (mh_rounds): RR rounds per loop
     # iteration, one kernel launch + one record-slab write each ----------
@@ -353,7 +363,7 @@ def metropolis(
 
             def body_c(state):
                 (key, k_rec, n_prop, n_acc, z, lpv, lpb, P, pv, ST,
-                 st_ok) = state
+                 st_ok, n_rnd) = state
                 # chunk RNG: the EXACT per-round stream (sequential key
                 # splits via scan, then batched generation per round key —
                 # values identical to the one-round bodies')
@@ -416,9 +426,10 @@ def metropolis(
                     valid = runnable
                 n_acc_c = jnp.sum(jnp.where(valid, acc_i, 0))
                 n_con_c = jnp.sum(jnp.where(valid, out["consumed"], 0))
+                n_rnd_c = jnp.sum(valid.astype(n_rnd.dtype))
                 return (key, k_rec + n_acc_c, n_prop + n_con_c,
                         n_acc + n_acc_c, out["z_fin"], out["val_fin"],
-                        out["beta_fin"], P, pv, ST, st_ok)
+                        out["beta_fin"], P, pv, ST, st_ok, n_rnd + n_rnd_c)
 
             return body_c
 
@@ -441,7 +452,7 @@ def metropolis(
 
         init_c = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
                   z0, lp0.val, lp0.beta, Pc0, jnp.asarray(0.0, dtype), ST0,
-                  jnp.asarray(True))
+                  jnp.asarray(True), jnp.asarray(0))
         # three phases, all over the SAME per-round stream (chunk size and
         # check elision never change which rounds run — only how they are
         # batched): check-free 120-round warm chunks, then check-free
@@ -453,7 +464,7 @@ def metropolis(
                                   warm)
                if RR < RW else warm)
         (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv, ST,
-         st_ok) = (
+         st_ok, n_rnd) = (
             jax.lax.while_loop(cond_c, make_body(RR, check=True), mid)
         )
         row_ids = jnp.arange(n_max)
@@ -464,6 +475,7 @@ def metropolis(
             n_recorded=k_rec, n_proposals=n_prop, n_accepted=n_acc,
             pvalue=pv, converged=pv >= alpha_geweke, laplace=fit,
             factors=ST, factors_ok=None if ST is None else st_ok,
+            n_rounds=n_rnd,
         )
 
     if K > 1:
@@ -471,8 +483,9 @@ def metropolis(
     else:
         body_fn = body
     init = (key, jnp.asarray(0), jnp.asarray(0), jnp.asarray(0),
-            z0, lp0.val, lp0.beta, packed0, jnp.asarray(0.0, dtype))
-    (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv) = (
+            z0, lp0.val, lp0.beta, packed0, jnp.asarray(0.0, dtype),
+            jnp.asarray(0))
+    (key, k_rec, n_prop, n_acc, z, lp_val, lp_beta, P, pv, n_rnd) = (
         jax.lax.while_loop(cond, body_fn, init)
     )
     # unpack; rows >= n_recorded are scratch (never read by consumers) —
@@ -487,4 +500,5 @@ def metropolis(
         samples=S, betas=B, logposts=L, n_recorded=k_rec,
         n_proposals=n_prop, n_accepted=n_acc, pvalue=pv,
         converged=pv >= alpha_geweke, laplace=fit,
+        n_rounds=n_rnd if K > 1 else n_prop,
     )

@@ -56,6 +56,11 @@ def _assert_identical(r1, r2):
                           np.asarray(r2.logposts[:n]))
     assert float(r1.pvalue) == float(r2.pvalue)
     assert bool(r1.converged) == bool(r2.converged)
+    # the rounds counter is law-equal too: the chunked driver counts
+    # valid (runnable, pre-truncation) rounds, the one-round driver
+    # counts body executions — same set by the prefix argument
+    if r1.n_rounds is not None and r2.n_rounds is not None:
+        assert int(r1.n_rounds) == int(r2.n_rounds)
 
 
 def test_chunked_equals_sequential(problem):
