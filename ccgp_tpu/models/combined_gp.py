@@ -95,6 +95,7 @@ def fit_combined_gp(
     jitter: float = 0.0,
     mle_method: str = "bfgs",    # 'bfgs' | 'grid' (scalar-rate, batched)
     whiten: bool = False,
+    draw_chunk: Optional[int] = None,
 ) -> CombinedGPFit:
     """Fit the combined GP. sigma2=None triggers the plug-in kriging MLE;
     mle_method='grid' uses the batched dense-grid profile-ML plug-in
@@ -106,7 +107,17 @@ def fit_combined_gp(
     chains at n >= 768 where the bordered qoy accumulation loses ~0.17
     relative accuracy (DESIGN.md; oracle adjudication in
     scripts/verify_whiten_oracle.py). Routes the sampler to the XLA
-    fallback (no fused kernel, no factor stash) — slower, so default off."""
+    fallback (no fused kernel, no factor stash) — slower, so default off.
+
+    draw_chunk: for large-n fits (beyond the sampler's stash envelope)
+    whose full per-draw factor cache (net, n, n) would not fit in HBM
+    (m=400 draws at n=2048 is already 6.25 GB of Cholesky factors), skip
+    the cache build entirely and return a LAZY cache (empty factor
+    arrays): `predict_combined_gp` then computes the predictive moments
+    draw_chunk draws at a time (`predict.posterior.
+    predictive_moments_lazy`, peak factor memory draw_chunk * n^2) and
+    must be handed `y` and this fit's `jitter`. Predictions match the
+    classic cache to numerical roundoff (tests/test_predict.py)."""
     k_mle, k_mcmc = jax.random.split(key)
     family = mle_family or spec.kernel1
     if mle_method == "grid":
@@ -228,6 +239,15 @@ def fit_combined_gp(
             chol, a, u = jax.lax.cond(ok, _decode, _rebuild, None)
         cache = FactorCache(chol=chol, a=a, u=u, beta=betas,
                             params=params)
+    elif draw_chunk is not None:
+        # LAZY cache: factors are built draw_chunk at a time inside
+        # predict_combined_gp (see the docstring above); the empty
+        # leading axis is the static marker predict dispatches on
+        cache = FactorCache(
+            chol=jnp.zeros((0, n_train, n_train), x.dtype),
+            a=jnp.zeros((0, n_train), x.dtype),
+            u=jnp.zeros((0, n_train), x.dtype),
+            beta=betas, params=params)
     else:
         cache = build_factors(spec, x, y, zs, betas, jitter=jitter)
     return CombinedGPFit(sigma2=s2, mle=mle, mcmc=res, cache=cache, zs=zs,
@@ -245,12 +265,33 @@ def predict_combined_gp(
     var_scale: str = "sigma2",
     normalized_cross: bool = True,
     drop_negative_var: bool = True,
+    y: Optional[jnp.ndarray] = None,
+    jitter: float = 0.0,
+    draw_chunk: int = 64,
 ) -> PosteriorPrediction:
-    from ccgp_tpu.predict.posterior import (
-        posterior_predict, predictive_moments)
+    """Posterior-predictive prediction from a CombinedGPFit.
 
-    dm, dv = predictive_moments(spec, fit.cache, x, x_new, fit.sigma2,
-                                var_scale=var_scale,
-                                normalized_cross=normalized_cross)
+    A fit built with `fit_combined_gp(..., draw_chunk=...)` carries a
+    LAZY factor cache (empty factor arrays): its moments are computed
+    draw_chunk draws at a time and the call must pass `y` and the SAME
+    `jitter` the fit used (they are not stored on the fit)."""
+    from ccgp_tpu.predict.posterior import (
+        posterior_predict, predictive_moments, predictive_moments_lazy)
+
+    lazy = fit.cache.chol.shape[0] == 0 and fit.zs.shape[0] > 0
+    if lazy:
+        if y is None:
+            raise ValueError(
+                "fit carries a lazy factor cache (fit_combined_gp(..., "
+                "draw_chunk=...)): pass y= and the fit's jitter= to "
+                "predict_combined_gp")
+        dm, dv = predictive_moments_lazy(
+            spec, x, y, x_new, fit.zs, fit.cache.beta, fit.sigma2,
+            jitter=jitter, draw_chunk=draw_chunk, var_scale=var_scale,
+            normalized_cross=normalized_cross)
+    else:
+        dm, dv = predictive_moments(spec, fit.cache, x, x_new, fit.sigma2,
+                                    var_scale=var_scale,
+                                    normalized_cross=normalized_cross)
     return posterior_predict(key, dm, dv, alpha=alpha, quant_ref=quant_ref,
                              drop_negative_var=drop_negative_var)

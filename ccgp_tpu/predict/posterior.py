@@ -74,6 +74,54 @@ def predictive_moments(
                          cache.params)
 
 
+def predictive_moments_lazy(
+    spec: MixtureSpec,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    x_new: jnp.ndarray,
+    zs: jnp.ndarray,
+    betas: jnp.ndarray,
+    sigma2,
+    jitter: float = 0.0,
+    draw_chunk: int = 64,
+    var_scale: str = "sigma2",
+    normalized_cross: bool = True,
+):
+    """Draw-chunked predictive moments for fits whose full factor cache
+    (m, n, n) does not fit in HBM (e.g. m=400 draws at n=2048 is 6.25 GB
+    of Cholesky factors alone; the batched trsm workspace on top OOMs a
+    16 GB chip). Builds factors for `draw_chunk` draws at a time inside a
+    sequential `lax.map` and discards them after their (chunk, t) moments
+    are computed — peak factor memory is draw_chunk * n^2 instead of
+    m * n^2. Same per-draw algorithm as build_factors +
+    predictive_moments; results agree to numerical roundoff (~1e-12 in
+    f64 — XLA fuses the batched reductions differently per batch size,
+    so NOT bit-identical; tests/test_predict.py)."""
+    from ccgp_tpu.predict.factors import build_factors
+
+    m = zs.shape[0]
+    c = min(int(draw_chunk), m)
+    nc = -(-m // c)
+    pad = nc * c - m
+    if pad:
+        zs = jnp.concatenate(
+            [zs, jnp.broadcast_to(zs[-1:], (pad, zs.shape[1]))])
+        betas = jnp.concatenate(
+            [betas, jnp.broadcast_to(betas[-1:], (pad,))])
+
+    def one_chunk(args):
+        z_c, b_c = args
+        cache = build_factors(spec, x, y, z_c, b_c, jitter=jitter)
+        return predictive_moments(spec, cache, x, x_new, sigma2,
+                                  var_scale=var_scale,
+                                  normalized_cross=normalized_cross)
+
+    dm, dv = jax.lax.map(
+        one_chunk, (zs.reshape(nc, c, zs.shape[1]), betas.reshape(nc, c)))
+    t = x_new.shape[-2]
+    return dm.reshape(nc * c, t)[:m], dv.reshape(nc * c, t)[:m]
+
+
 def posterior_predict(
     key: jax.Array,
     draw_mean: jnp.ndarray,

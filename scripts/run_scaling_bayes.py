@@ -87,13 +87,24 @@ def main():
         y = jnp.asarray(y_np, dtype)
         xt = jnp.asarray(xt_np, dtype)
 
+        # beyond the kernel cap (n > 1024) the full (400, n, n) factor
+        # cache OOMs the 16 GB chip (6.25 GB of chols alone at n=2048,
+        # plus the batched-trsm workspace): go through the LAZY cache +
+        # draw-chunked moments, chunk sized to ~1 GB of factors
+        chunk = None if n <= 1024 else max(8, (1 << 30) // (n * n * 4))
+
         def fit_predict(x, y, xt, key):
             kf, kp = jax.random.split(key)
             fit = fit_combined_gp(spec, x, y, kf, mcmc=cfg,
                                   theta1_prior=InverseGamma(3, 2),
                                   theta2_prior=InverseGamma(5, 16),
-                                  jitter=jitter, mle_method="grid")
-            pred = predict_combined_gp(spec, fit, x, xt, kp)
+                                  jitter=jitter, mle_method="grid",
+                                  draw_chunk=chunk)
+            if chunk is None:
+                pred = predict_combined_gp(spec, fit, x, xt, kp)
+            else:
+                pred = predict_combined_gp(spec, fit, x, xt, kp, y=y,
+                                           jitter=jitter, draw_chunk=chunk)
             return (pred.mean, fit.chain_ok, fit.mcmc.n_recorded,
                     fit.sigma2, fit.mcmc.n_proposals, fit.mcmc.n_rounds)
 

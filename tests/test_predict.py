@@ -135,3 +135,42 @@ def test_build_factors_lanes_branch_matches_xla(rng, monkeypatch):
                        atol=1e-9)
     assert np.allclose(np.asarray(got.a), np.asarray(want.a), atol=1e-8)
     assert np.allclose(np.asarray(got.u), np.asarray(want.u), atol=1e-8)
+
+
+def test_lazy_draw_chunked_predict_matches_classic(rng):
+    """fit_combined_gp(draw_chunk=...) skips the (m, n, n) factor-cache
+    materialization (the n=2048 full-Bayes OOM, DESIGN.md §14) and
+    predict_combined_gp rebuilds factors draw_chunk at a time; the
+    predictions must match the classic cache to numerical roundoff
+    (NOT bitwise: XLA fuses the batched reductions differently per
+    batch size). draw_chunk=7 over 30 draws also exercises the
+    ragged-tail padding (nc*c - m = 5)."""
+    from ccgp_tpu.models import (MCMCConfig, fit_combined_gp,
+                                 predict_combined_gp)
+
+    spec = iso_spec()
+    x = jnp.asarray(rng.uniform(size=(24, 2)))
+    y = jnp.asarray(rng.normal(size=24))
+    xt = jnp.asarray(rng.uniform(size=(17, 2)))
+    cfg = MCMCConfig(start=(1.0, 1.0, 0.0), n_max=200, samp_size=50,
+                     net_samp_size=30, speculative=4)
+    kf, kp = jax.random.split(jax.random.PRNGKey(3))
+
+    classic = fit_combined_gp(spec, x, y, kf, mcmc=cfg, jitter=1e-6,
+                              mle_method="grid")
+    p0 = predict_combined_gp(spec, classic, x, xt, kp)
+
+    lazy = fit_combined_gp(spec, x, y, kf, mcmc=cfg, jitter=1e-6,
+                           mle_method="grid", draw_chunk=7)
+    assert lazy.cache.chol.shape == (0, 24, 24)   # nothing materialized
+    p1 = predict_combined_gp(spec, lazy, x, xt, kp, y=y, jitter=1e-6,
+                             draw_chunk=7)
+    for name in ("mean", "lower", "upper", "quant"):
+        a, b = np.asarray(getattr(p0, name)), np.asarray(getattr(p1, name))
+        assert np.allclose(a, b, rtol=1e-9, atol=1e-11), name
+
+    # the lazy cache cannot be consumed without y (+ the fit's jitter)
+    import pytest
+
+    with pytest.raises(ValueError, match="lazy factor cache"):
+        predict_combined_gp(spec, lazy, x, xt, kp)
