@@ -287,6 +287,15 @@ def main():
 
     b_min_ess = float(np.min(np.asarray(
         effective_sample_size(jnp.asarray(np.asarray(b_zs))[None]))))
+    # guard, not just surface (VERDICT r4 #6): min-ESS < 10 is the
+    # mixing policy's own HMC-switch threshold (DESIGN.md §11) — a chain
+    # whose worst-mixing parameter collapses below it would previously
+    # still pass the rmspe/coverage ladder while its tail quantiles
+    # understate error. The pinned PRNGKey(7) chain sits at ~11.9.
+    assert b_min_ess >= 10.0, (
+        f"bayes mixing regression: min_ess={b_min_ess:.1f} < 10 "
+        "(mixing policy threshold; switch the flagship to infer/hmc.py "
+        "per DESIGN.md §11 if this is a real chain change)")
 
     print(json.dumps({
         "metric": "fit_predict_2d_aniso_100pt_maximin",

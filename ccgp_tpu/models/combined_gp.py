@@ -78,6 +78,8 @@ class CombinedGPFit(NamedTuple):
     zs: jnp.ndarray             # (net, n_params) retained unconstrained draws
     params: MixParams           # batched constrained draws
     chain_ok: Optional[jnp.ndarray] = None  # Geweke-converged AND window full
+    y: Optional[jnp.ndarray] = None         # training responses (lazy predict)
+    jitter: Optional[jnp.ndarray] = None    # the jitter the fit was built with
 
 
 def fit_combined_gp(
@@ -109,15 +111,18 @@ def fit_combined_gp(
     scripts/verify_whiten_oracle.py). Routes the sampler to the XLA
     fallback (no fused kernel, no factor stash) — slower, so default off.
 
-    draw_chunk: for large-n fits (beyond the sampler's stash envelope)
-    whose full per-draw factor cache (net, n, n) would not fit in HBM
-    (m=400 draws at n=2048 is already 6.25 GB of Cholesky factors), skip
-    the cache build entirely and return a LAZY cache (empty factor
-    arrays): `predict_combined_gp` then computes the predictive moments
-    draw_chunk draws at a time (`predict.posterior.
-    predictive_moments_lazy`, peak factor memory draw_chunk * n^2) and
-    must be handed `y` and this fit's `jitter`. Predictions match the
-    classic cache to numerical roundoff (tests/test_predict.py)."""
+    draw_chunk: for large-n fits whose full per-draw factor cache
+    (net, n, n) would not fit in HBM (m=400 draws at n=2048 is already
+    6.25 GB of Cholesky factors), skip the cache build entirely and
+    return a LAZY cache (empty factor arrays): `predict_combined_gp`
+    then computes the predictive moments draw_chunk draws at a time
+    (`predict.posterior.predictive_moments_lazy`, peak factor memory
+    draw_chunk * n^2). The fit stores `y` and `jitter` so the lazy
+    predict path is self-contained. draw_chunk takes precedence over
+    the sampler's factor stash: an explicit request to bound HBM is
+    honored even when stashed factors are available (the (net, n, n)
+    decode is skipped). Predictions match the classic cache to
+    numerical roundoff (tests/test_predict.py)."""
     k_mle, k_mcmc = jax.random.split(key)
     family = mle_family or spec.kernel1
     if mle_method == "grid":
@@ -211,7 +216,7 @@ def fit_combined_gp(
     zs = zs_all[mcmc.samp_size - mcmc.net_samp_size:]
     betas = betas_all[mcmc.samp_size - mcmc.net_samp_size:]
     params, _ = jax.vmap(lambda z: unpack(spec, z))(zs)
-    if res.factors is not None:
+    if res.factors is not None and draw_chunk is None:
         # the sampler already emitted each retained draw's factors (XLA
         # fuses this row gather into the consumers; a dynamic-slice /
         # lax.cond fast path was measured NEUTRAL-to-slower on the bench)
@@ -251,7 +256,8 @@ def fit_combined_gp(
     else:
         cache = build_factors(spec, x, y, zs, betas, jitter=jitter)
     return CombinedGPFit(sigma2=s2, mle=mle, mcmc=res, cache=cache, zs=zs,
-                         params=params, chain_ok=res.chain_ok(mcmc.samp_size))
+                         params=params, chain_ok=res.chain_ok(mcmc.samp_size),
+                         y=y, jitter=jnp.asarray(jitter, x.dtype))
 
 
 def predict_combined_gp(
@@ -273,21 +279,25 @@ def predict_combined_gp(
 
     A fit built with `fit_combined_gp(..., draw_chunk=...)` carries a
     LAZY factor cache (empty factor arrays): its moments are computed
-    draw_chunk draws at a time and the call must pass `y` and the SAME
-    `jitter` the fit used (they are not stored on the fit)."""
+    draw_chunk draws at a time using the `y` and `jitter` STORED on the
+    fit (fits from fit_combined_gp carry both; explicit y=/jitter=
+    arguments are only needed for fits deserialized by an older
+    models/serialize.py that predates those fields)."""
     from ccgp_tpu.predict.posterior import (
         posterior_predict, predictive_moments, predictive_moments_lazy)
 
     lazy = fit.cache.chol.shape[0] == 0 and fit.zs.shape[0] > 0
     if lazy:
-        if y is None:
+        y_train = fit.y if fit.y is not None else y
+        jitter_fit = fit.jitter if fit.jitter is not None else jitter
+        if y_train is None:
             raise ValueError(
                 "fit carries a lazy factor cache (fit_combined_gp(..., "
-                "draw_chunk=...)): pass y= and the fit's jitter= to "
-                "predict_combined_gp")
+                "draw_chunk=...)) but no stored y: pass y= and the fit's "
+                "jitter= to predict_combined_gp")
         dm, dv = predictive_moments_lazy(
-            spec, x, y, x_new, fit.zs, fit.cache.beta, fit.sigma2,
-            jitter=jitter, draw_chunk=draw_chunk, var_scale=var_scale,
+            spec, x, y_train, x_new, fit.zs, fit.cache.beta, fit.sigma2,
+            jitter=jitter_fit, draw_chunk=draw_chunk, var_scale=var_scale,
             normalized_cross=normalized_cross)
     else:
         dm, dv = predictive_moments(spec, fit.cache, x, x_new, fit.sigma2,

@@ -43,6 +43,10 @@ def save_fit(path: str | Path, fit: CombinedGPFit) -> None:
     }
     if fit.chain_ok is not None:
         flat["chain_ok"] = fit.chain_ok
+    if fit.y is not None:
+        flat["y"] = fit.y
+    if fit.jitter is not None:
+        flat["jitter"] = fit.jitter
     np.savez_compressed(Path(path), **{k: np.asarray(v)
                                        for k, v in flat.items()})
 
@@ -66,4 +70,6 @@ def load_fit(path: str | Path) -> CombinedGPFit:
                         u=j("cache_u"), beta=j("cache_beta"), params=params)
     return CombinedGPFit(sigma2=j("sigma2"), mle=mle, mcmc=mcmc,
                          cache=cache, zs=j("zs"), params=params,
-                         chain_ok=j("chain_ok") if "chain_ok" in z else None)
+                         chain_ok=j("chain_ok") if "chain_ok" in z else None,
+                         y=j("y") if "y" in z else None,
+                         jitter=j("jitter") if "jitter" in z else None)

@@ -4,4 +4,5 @@ from ccgp_tpu.parallel.sharded import (
     sharded_design_sweep,
     multi_chain_metropolis,
     distributed_train_step,
+    sharded_posterior_predict,
 )

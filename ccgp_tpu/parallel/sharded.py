@@ -103,6 +103,59 @@ def sharded_design_sweep(
     return jax.tree_util.tree_map(lambda a: a[:n], out)
 
 
+def sharded_posterior_predict(
+    spec: MixtureSpec,
+    x: jnp.ndarray,           # (n, d) training inputs (replicated)
+    y: jnp.ndarray,           # (n,)
+    x_new: jnp.ndarray,       # (t, d) prediction points (replicated)
+    zs: jnp.ndarray,          # (m, p) retained unconstrained draws
+    betas: jnp.ndarray,       # (m,) per-draw GLS intercepts
+    sigma2,
+    mesh: Mesh,
+    jitter: float = 0.0,
+    var_scale: str = "sigma2",
+    normalized_cross: bool = True,
+):
+    """Posterior-predictive moments with the retained DRAWS sharded over
+    the mesh — the other half of every study next to the training step
+    (reference per-draw predictive: `1D Combined GP Public.R:783-811`).
+
+    Each device factorizes and predicts its draw shard locally (factor
+    build + trsm are the MXU compute, embarrassingly parallel over
+    draws); the cross-draw aggregation mean mu0 = E[mean_i] is the XLA
+    collective. Returns (draw_mean, draw_var, mu0) with the per-draw
+    arrays gathered back; identical on a 1-device mesh
+    (tests/test_parallel.py + the driver's dryrun parity oracle).
+    """
+    from ccgp_tpu.predict.factors import build_factors
+    from ccgp_tpu.predict.posterior import predictive_moments
+
+    ndev = int(np.prod(list(mesh.shape.values())))
+    draw_shard = NamedSharding(mesh, P(("dp", "mp")))
+    zs_p, m = _pad_to(zs, ndev)
+    betas_p, _ = _pad_to(betas, ndev)
+    zs_p = jax.device_put(zs_p, draw_shard)
+    betas_p = jax.device_put(betas_p, draw_shard)
+    row_shard = NamedSharding(mesh, P(("dp", "mp"), None))
+
+    @jax.jit
+    def run(zs_p, betas_p):
+        cache = build_factors(spec, x, y, zs_p, betas_p, jitter=jitter)
+        dm, dv = predictive_moments(spec, cache, x, x_new, sigma2,
+                                    var_scale=var_scale,
+                                    normalized_cross=normalized_cross)
+        dm = jax.lax.with_sharding_constraint(dm, row_shard)
+        dv = jax.lax.with_sharding_constraint(dv, row_shard)
+        # cross-draw aggregation: padded rows replicate the LAST real draw,
+        # so sum real rows only and divide by the true draw count
+        mask = (jnp.arange(dm.shape[0]) < m).astype(dm.dtype)
+        mu0 = jnp.einsum("m,mt->t", mask, dm) / m
+        return dm, dv, mu0
+
+    dm, dv, mu0 = run(zs_p, betas_p)
+    return dm[:m], dv[:m], mu0
+
+
 class TrainStepState(NamedTuple):
     """Per-chain MCMC state for the distributed training step."""
 

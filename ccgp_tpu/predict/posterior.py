@@ -100,6 +100,9 @@ def predictive_moments_lazy(
     from ccgp_tpu.predict.factors import build_factors
 
     m = zs.shape[0]
+    if m == 0:
+        empty = jnp.zeros((0, x_new.shape[-2]), x.dtype)
+        return empty, empty
     c = min(int(draw_chunk), m)
     nc = -(-m // c)
     pad = nc * c - m

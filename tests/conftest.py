@@ -53,6 +53,83 @@ if not os.environ.get("CCGP_CACHE_WRITES"):
         lambda cache_key, module_name, executable, backend, compile_time: None)
 
 
+def pytest_cmdline_main(config):
+    """Run the whole-suite lane as short-lived per-file subprocesses.
+
+    A single long-lived pytest process does not survive the full suite on
+    this machine: after a few hundred XLA compiles the native heap is
+    corrupted and the process detonates at the next native entry point —
+    SIGSEGV inside `backend.compile_and_load` on a cold cache, SIGABRT
+    inside `compilation_cache.get_executable_and_time` on a warm one
+    (round-4 verdict, 3/3 repro at tests/test_models.py). The detonation
+    site follows the process's compile history, not any particular test:
+    every test file is green in a short-lived process (the warmer's
+    24/24), so the fix is to never accumulate that history. When pytest
+    is pointed at the tests DIRECTORY (the advertised
+    `python -m pytest tests/ -q` lane), this hook takes over and runs one
+    pytest subprocess per test file, forwarding the remaining CLI options
+    (-q, -x, -m, ...) and aggregating the outcome. Each subprocess has a
+    young heap, so cache writes are safe again and are re-enabled
+    (CCGP_CACHE_WRITES=1): a cold lane warms its own cache as it goes.
+    Explicit file/node targets keep running in-process as before.
+    """
+    if os.environ.get("CCGP_LANE_INPROC"):
+        return None  # we ARE a lane subprocess: run normally
+    import pathlib
+
+    tests_dir = pathlib.Path(__file__).resolve().parent
+
+    def _is_tests_dir(a):
+        p = pathlib.Path(a.split("::")[0])
+        try:
+            return p.resolve() == tests_dir
+        except OSError:
+            return False
+
+    args = list(config.args)
+    if not args or not all(_is_tests_dir(a) for a in args):
+        return None  # targeted invocation: run in-process
+    passthrough = [a for a in config.invocation_params.args
+                   if not _is_tests_dir(a)]
+
+    import re
+    import subprocess
+    import sys
+    import time
+
+    files = sorted(str(p.relative_to(tests_dir.parent))
+                   for p in tests_dir.glob("test_*.py"))
+    env = dict(os.environ, CCGP_LANE_INPROC="1", CCGP_CACHE_WRITES="1")
+    totals, failures = {}, []
+    t0 = time.time()
+    for f in files:
+        tf = time.time()
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", f, *passthrough,
+             "-p", "no:cacheprovider"],
+            cwd=tests_dir.parent, env=env, capture_output=True, text=True)
+        out = (r.stdout or "") + (r.stderr or "")
+        tail = out.strip().splitlines()[-1] if out.strip() else ""
+        for n, what in re.findall(r"(\d+) (\w+)", tail):
+            totals[what] = totals.get(what, 0) + int(n)
+        ok = r.returncode in (0, 5)  # 5 = nothing collected (e.g. -m slow)
+        print(f"{f}: {'ok' if ok else f'EXIT {r.returncode}'} "
+              f"({time.time() - tf:.0f}s)  {tail}", flush=True)
+        if not ok:
+            failures.append(f)
+            sys.stdout.write(out)
+            if config.option.exitfirst or config.option.maxfail == 1:
+                break
+    summary = ", ".join(f"{v} {k}" for k, v in sorted(totals.items())
+                        if k in ("passed", "failed", "skipped", "errors",
+                                 "error", "xfailed", "xpassed"))
+    print(f"LANE: {len(files) - len(failures)}/{len(files)} files green "
+          f"({summary}) in {time.time() - t0:.0f}s", flush=True)
+    if failures:
+        print(f"LANE FAILURES: {failures}", flush=True)
+    return 1 if failures else 0
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",

@@ -57,6 +57,31 @@ def test_multi_chain_sharded(rng):
                            np.asarray(res.samples[1]))
 
 
+def test_sharded_posterior_predict_matches_serial(rng):
+    """Draws sharded over the 8-device mesh must reproduce the serial
+    predictive_moments path exactly (wrong shardings/collectives change
+    numbers, not shapes). 13 draws exercises the ragged pad (13 -> 16)."""
+    from ccgp_tpu.parallel import sharded_posterior_predict
+    from ccgp_tpu.predict.factors import build_factors
+    from ccgp_tpu.predict.posterior import predictive_moments
+
+    spec = _spec()
+    x = jnp.asarray(rng.uniform(size=(9, 2)))
+    y = jnp.asarray(rng.normal(size=9))
+    xt = jnp.asarray(rng.uniform(size=(6, 2)))
+    zs = jnp.asarray(0.2 * rng.normal(size=(13, 3)))
+    betas = jnp.asarray(0.1 * rng.normal(size=13))
+    mesh = make_mesh(8)
+    dm, dv, mu0 = sharded_posterior_predict(spec, x, y, xt, zs, betas, 0.7,
+                                            mesh, jitter=1e-8)
+    cache = build_factors(spec, x, y, zs, betas, jitter=1e-8)
+    dm_s, dv_s = predictive_moments(spec, cache, x, xt, 0.7)
+    assert dm.shape == (13, 6) and dv.shape == (13, 6)
+    assert np.allclose(np.asarray(dm), np.asarray(dm_s), rtol=1e-12)
+    assert np.allclose(np.asarray(dv), np.asarray(dv_s), rtol=1e-10)
+    assert np.allclose(np.asarray(mu0), np.asarray(dm_s).mean(0), rtol=1e-12)
+
+
 def test_sharded_design_sweep(rng):
     """The 100-design simulation-study axis: one kriging fit per design,
     designs sharded over the mesh."""

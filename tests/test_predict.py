@@ -163,14 +163,44 @@ def test_lazy_draw_chunked_predict_matches_classic(rng):
     lazy = fit_combined_gp(spec, x, y, kf, mcmc=cfg, jitter=1e-6,
                            mle_method="grid", draw_chunk=7)
     assert lazy.cache.chol.shape == (0, 24, 24)   # nothing materialized
-    p1 = predict_combined_gp(spec, lazy, x, xt, kp, y=y, jitter=1e-6,
-                             draw_chunk=7)
+    # the fit stores y and jitter (ADVICE r4): the lazy path is
+    # self-contained — no y=/jitter= arguments needed, and a forgotten
+    # jitter= can no longer silently rebuild factors with the wrong one
+    assert np.allclose(np.asarray(lazy.y), np.asarray(y))
+    assert float(lazy.jitter) == 1e-6
+    p1 = predict_combined_gp(spec, lazy, x, xt, kp, draw_chunk=7)
     for name in ("mean", "lower", "upper", "quant"):
         a, b = np.asarray(getattr(p0, name)), np.asarray(getattr(p1, name))
         assert np.allclose(a, b, rtol=1e-9, atol=1e-11), name
 
-    # the lazy cache cannot be consumed without y (+ the fit's jitter)
+    # stored y/jitter survive a checkpoint round-trip
+    import tempfile
+
+    from ccgp_tpu.models.serialize import load_fit, save_fit
+
+    with tempfile.TemporaryDirectory() as d:
+        save_fit(d + "/fit.npz", lazy)
+        back = load_fit(d + "/fit.npz")
+    p2 = predict_combined_gp(spec, back, x, xt, kp, draw_chunk=7)
+    assert np.allclose(np.asarray(p1.mean), np.asarray(p2.mean))
+
+    # a legacy fit without stored y (pre-field checkpoint) still raises
     import pytest
 
     with pytest.raises(ValueError, match="lazy factor cache"):
-        predict_combined_gp(spec, lazy, x, xt, kp)
+        predict_combined_gp(spec, lazy._replace(y=None), x, xt, kp)
+
+
+def test_lazy_moments_empty_draws():
+    """predictive_moments_lazy on zero draws returns empty (0, t) moment
+    arrays instead of a ZeroDivisionError from the chunk-count arithmetic
+    (ADVICE r4)."""
+    from ccgp_tpu.predict.posterior import predictive_moments_lazy
+
+    spec = iso_spec()
+    x = jnp.zeros((5, 2))
+    y = jnp.zeros(5)
+    xt = jnp.zeros((3, 2))
+    dm, dv = predictive_moments_lazy(
+        spec, x, y, xt, jnp.zeros((0, 3)), jnp.zeros((0,)), 1.0)
+    assert dm.shape == (0, 3) and dv.shape == (0, 3)
