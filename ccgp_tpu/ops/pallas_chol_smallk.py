@@ -1186,12 +1186,17 @@ def fused_mix_mh_round(
 
 def _make_mh_rounds_kernel(n: int, ndim: int, dim: int, kk: int,
                            ns2: int, jitter: float, log2pi: float,
-                           cand_model, stash: bool):
-    """One grid step = one whole speculative round; grid=(R,) runs the R
-    rounds SEQUENTIALLY on the core with the chain state carried in a
+                           cand_model, stash: bool, rps: int = 1):
+    """One grid step = `rps` whole speculative rounds; grid=(R/rps,) runs
+    them SEQUENTIALLY on the core with the chain state carried in a
     VMEM scratch row (the idiomatic Mosaic cross-step carry — a rolled
     in-kernel fori over rounds sent the Mosaic compiler into a
-    pathological >20-minute path even at toy sizes).
+    pathological >20-minute path even at toy sizes; a STATICALLY
+    UNROLLED handful of rounds per step compiles fine and is
+    bit-identical, but measured a WASH at rps=2 and a regression at
+    4/8 — the fixed grid-step cost the DESIGN.md §13 quadratic fit
+    attributed turned out to already overlap with compute; see
+    fused_mix_mh_rounds).
 
     Per round, IN-KERNEL: candidate formation (state + precomputed
     proposal deltas), the unconstrained->constrained transform +
@@ -1241,14 +1246,7 @@ def _make_mh_rounds_kernel(n: int, ndim: int, dim: int, kk: int,
                         lane1 == dim + 1, lane_scalar(st, 0), 0.0)))
 
         state = state_ref[...]
-        z = jnp.where(lane1 < dim, state, 0.0)
-        lpb = lane_scalar(state, dim)
-        lpv = lane_scalar(state, dim + 1)
         s2sc = lane_scalar(st_ref[...], 2)
-
-        delta = delta_ref[...]                 # (kk, 1, tile) this round
-        cz = z + delta
-        r1, r2, pv, extra, log_scale = cand_model(cz, iilane, s2sc)
 
         def b_l(v):
             return jnp.broadcast_to(v, (kk, 1, tile))
@@ -1262,82 +1260,96 @@ def _make_mh_rounds_kernel(n: int, ndim: int, dim: int, kk: int,
             return jnp.sum(jnp.where(iilane == i, v, 0.0), axis=2,
                            keepdims=True)
 
-        dist1 = jnp.zeros((kk, ns2, tile), dtype)
-        dist2 = jnp.zeros((kk, ns2, tile), dtype)
-        for k in range(ndim):
-            d2k = d2[k][None]
-            dist1 = dist1 + d2k * b_l(lane_k(r1, k))
-            dist2 = dist2 + d2k * b_l(lane_k(r2, k))
-        pvr = b_l(pv)
-        w1 = pvr * pvr
-        w2 = (1.0 - pvr) * (1.0 - pvr)
-        rmix = (w1 * jnp.exp(-dist1) + w2 * jnp.exp(-dist2)) / (w1 + w2)
-        real = (iirow < n) & (iilane < n)
-        eye = (iirow == iilane).astype(dtype)
-        m0 = jnp.where(real, rmix, eye)
-        if jitter:
-            m0 = m0 + jnp.where(real & (iirow == iilane),
-                                jnp.asarray(jitter, dtype), 0.0)
+        # statically unrolled sub-rounds: delta/logu/output blocks hold
+        # rps rounds, the chain state threads through as a VALUE and only
+        # touches the VMEM scratch once per grid step
+        for j in range(rps):
+            z = jnp.where(lane1 < dim, state, 0.0)
+            lpb = lane_scalar(state, dim)
+            lpv = lane_scalar(state, dim + 1)
 
-        ryk = jnp.broadcast_to(ry_ref[...], (kk, 1, tile))
-        rok = jnp.broadcast_to(ro_ref[...], (kk, 1, tile))
-        ld, qyy, qoy, qoo, mfin, wy, wo = _core_for(m0.shape[-1])(
-            m0, ryk, rok, n, kk, dtype)
-        beta = qoy / qoo
-        quad = qyy - qoy * qoy / qoo
-        val = (-0.5 * (n * log2pi + ld + n * log_scale
-                       + quad * jnp.exp(-log_scale)) + extra)
+            delta = delta_ref[j * kk:(j + 1) * kk]   # (kk, 1, tile)
+            cz = z + delta
+            r1, r2, pv, extra, log_scale = cand_model(cz, iilane, s2sc)
 
-        logu_r = logu_ref[...]                 # (1, 1, tile), lanes < kk
+            dist1 = jnp.zeros((kk, ns2, tile), dtype)
+            dist2 = jnp.zeros((kk, ns2, tile), dtype)
+            for k in range(ndim):
+                d2k = d2[k][None]
+                dist1 = dist1 + d2k * b_l(lane_k(r1, k))
+                dist2 = dist2 + d2k * b_l(lane_k(r2, k))
+            pvr = b_l(pv)
+            w1 = pvr * pvr
+            w2 = (1.0 - pvr) * (1.0 - pvr)
+            rmix = (w1 * jnp.exp(-dist1) + w2 * jnp.exp(-dist2)) / (w1 + w2)
+            real = (iirow < n) & (iilane < n)
+            eye = (iirow == iilane).astype(dtype)
+            m0 = jnp.where(real, rmix, eye)
+            if jitter:
+                m0 = m0 + jnp.where(real & (iirow == iilane),
+                                    jnp.asarray(jitter, dtype), 0.0)
 
-        out_z, val_n, beta_n = z, lpv, lpb
-        consumed = jnp.full((1, 1, 1), float(kk), dtype)
-        taken = jnp.zeros((1, 1, 1), jnp.bool_)
-        if stash:
-            msel = jnp.zeros((1, ns2, tile), dtype)
-            wysel = jnp.zeros((1, 1, tile), dtype)
-            wosel = jnp.zeros((1, 1, tile), dtype)
-        for k in range(kk):
-            logu_k = lane_scalar(logu_r, k)
-            acck = (val[k:k + 1] - lpv) > logu_k
-            take = acck & (~taken)
-            out_z = jnp.where(take, cz[k:k + 1], out_z)
-            val_n = jnp.where(take, val[k:k + 1], val_n)
-            beta_n = jnp.where(take, beta[k:k + 1], beta_n)
-            consumed = jnp.where(take, jnp.full((1, 1, 1), float(k + 1),
-                                                dtype), consumed)
+            ryk = jnp.broadcast_to(ry_ref[...], (kk, 1, tile))
+            rok = jnp.broadcast_to(ro_ref[...], (kk, 1, tile))
+            ld, qyy, qoy, qoo, mfin, wy, wo = _core_for(m0.shape[-1])(
+                m0, ryk, rok, n, kk, dtype)
+            beta = qoy / qoo
+            quad = qyy - qoy * qoy / qoo
+            val = (-0.5 * (n * log2pi + ld + n * log_scale
+                           + quad * jnp.exp(-log_scale)) + extra)
+
+            logu_r = logu_ref[j:j + 1]         # (1, 1, tile), lanes < kk
+
+            out_z, val_n, beta_n = z, lpv, lpb
+            consumed = jnp.full((1, 1, 1), float(kk), dtype)
+            taken = jnp.zeros((1, 1, 1), jnp.bool_)
             if stash:
-                msel = jnp.where(take, mfin[k:k + 1], msel)
-                wysel = jnp.where(take, wy[k:k + 1], wysel)
-                wosel = jnp.where(take, wo[k:k + 1], wosel)
-            taken = taken | acck
-        anyf = taken.astype(dtype)
+                msel = jnp.zeros((1, ns2, tile), dtype)
+                wysel = jnp.zeros((1, 1, tile), dtype)
+                wosel = jnp.zeros((1, 1, tile), dtype)
+            for k in range(kk):
+                logu_k = lane_scalar(logu_r, k)
+                acck = (val[k:k + 1] - lpv) > logu_k
+                take = acck & (~taken)
+                out_z = jnp.where(take, cz[k:k + 1], out_z)
+                val_n = jnp.where(take, val[k:k + 1], val_n)
+                beta_n = jnp.where(take, beta[k:k + 1], beta_n)
+                consumed = jnp.where(take, jnp.full((1, 1, 1), float(k + 1),
+                                                    dtype), consumed)
+                if stash:
+                    msel = jnp.where(take, mfin[k:k + 1], msel)
+                    wysel = jnp.where(take, wy[k:k + 1], wysel)
+                    wosel = jnp.where(take, wo[k:k + 1], wosel)
+                taken = taken | acck
+            anyf = taken.astype(dtype)
 
-        new_state = jnp.where(
-            lane1 < dim, out_z, jnp.where(
-                lane1 == dim, beta_n, jnp.where(
-                    lane1 == dim + 1, val_n, 0.0)))
-        state_ref[...] = new_state
-        rec_ref[...] = new_state
-        info_ref[...] = jnp.where(
-            lane1 == 0, anyf,
-            jnp.where(lane1 == 1, consumed, 0.0))
+            new_state = jnp.where(
+                lane1 < dim, out_z, jnp.where(
+                    lane1 == dim, beta_n, jnp.where(
+                        lane1 == dim + 1, val_n, 0.0)))
+            state = new_state
+            rec_ref[j:j + 1] = new_state
+            info_ref[j:j + 1] = jnp.where(
+                lane1 == 0, anyf,
+                jnp.where(lane1 == 1, consumed, 0.0))
 
-        if stash:
-            # ROW scaling by the pivot scale: stash[j, i] = S[j, i] *
-            # d_j^{-1/2} = L[i, j] for i >= j, so the decode is
-            # tril(transpose(stash)) — the one convention that works for
-            # BOTH the single-tile cores (S bit-symmetric) and the
-            # multi-tile assembled matrix (upper triangle complete,
-            # lower-left off-diagonal blocks zero); see
-            # predict.factors.decode_stash
-            diagc = jnp.sum(jnp.where(row1 == lane1, msel, 0.0),
-                            axis=2, keepdims=True)      # (1, ns2, 1)
-            dinvc = jax.lax.rsqrt(diagc)
-            lsel = msel * dinvc
-            stash_ref[...] = jnp.where(
-                row1 == n, wysel,
-                jnp.where(row1 == n + 1, wosel, lsel))
+            if stash:
+                # ROW scaling by the pivot scale: stash[j, i] = S[j, i] *
+                # d_j^{-1/2} = L[i, j] for i >= j, so the decode is
+                # tril(transpose(stash)) — the one convention that works
+                # for BOTH the single-tile cores (S bit-symmetric) and
+                # the multi-tile assembled matrix (upper triangle
+                # complete, lower-left off-diagonal blocks zero); see
+                # predict.factors.decode_stash
+                diagc = jnp.sum(jnp.where(row1 == lane1, msel, 0.0),
+                                axis=2, keepdims=True)      # (1, ns2, 1)
+                dinvc = jax.lax.rsqrt(diagc)
+                lsel = msel * dinvc
+                stash_ref[j:j + 1] = jnp.where(
+                    row1 == n, wysel,
+                    jnp.where(row1 == n + 1, wosel, lsel))
+
+        state_ref[...] = state
 
     return _kernel
 
@@ -1354,9 +1366,14 @@ def fused_mix_mh_rounds(
     jitter: float = 0.0,
     stash: bool = False,
     interpret: bool = False,
+    rounds_per_step: int | None = None,
 ) -> dict:
     """R speculative Metropolis rounds as ONE kernel launch over a
-    sequential grid=(R,) (see `_make_mh_rounds_kernel`). Returns a dict:
+    sequential grid=(R/rps,) with `rounds_per_step` (rps) rounds
+    statically unrolled per grid step (see `_make_mh_rounds_kernel`;
+    identical math, stream, and records at every rps — bit-identity
+    verified on-chip for rps in {2,4,8}; measured a WASH at rps=2 and a
+    regression beyond, so the default stays 1). Returns a dict:
 
       rec       (R, dim+2) PER-ROUND post-state rows [z | beta | logpost]
                 (row r repeats the previous state when round r rejected;
@@ -1386,6 +1403,17 @@ def fused_mix_mh_rounds(
     rk, dim = deltas.shape
     rr, kk = log_u.shape
     assert rk == rr * kk
+    # default 1: the rps sweep on v5e measured med us/round 15.85 (rps=1)
+    # / 16.08 (2) / 16.55 (4) / 18.41 (8) at the bench shape — the
+    # hypothesized ~1.6 us fixed grid-step saving does not materialize
+    # (Mosaic already overlaps block copies with compute; bigger blocks
+    # only degrade the pipelining), so more rounds per step is a wash at
+    # 2 and a regression beyond. Kept selectable for future re-measure.
+    if rounds_per_step is None:
+        rounds_per_step = 1
+    rps = rounds_per_step
+    if rr % rps:
+        raise ValueError(f"rounds_per_step={rps} must divide R={rr}")
     dtype = x.dtype
     tile = -(-n // TILE) * TILE
     if tile > MAX_N:
@@ -1419,18 +1447,19 @@ def fused_mix_mh_rounds(
         pl.BlockSpec((d, ns2, tile), const),
         pl.BlockSpec((1, 1, tile), const),
         pl.BlockSpec((1, 1, tile), const),
-        pl.BlockSpec((kk, 1, tile), lambda r: (r, 0, 0)),
-        pl.BlockSpec((1, 1, tile), lambda r: (r, 0, 0)),
+        pl.BlockSpec((rps * kk, 1, tile), lambda r: (r, 0, 0)),
+        pl.BlockSpec((rps, 1, tile), lambda r: (r, 0, 0)),
         pl.BlockSpec((1, 1, tile), const),
         pl.BlockSpec((1, 1, tile), const),
     ]
     out_shapes = [jax.ShapeDtypeStruct((rr, 1, tile), dtype),
                   jax.ShapeDtypeStruct((rr, 1, tile), dtype)]
-    out_specs = [pl.BlockSpec((1, 1, tile), lambda r: (r, 0, 0)),
-                 pl.BlockSpec((1, 1, tile), lambda r: (r, 0, 0))]
+    out_specs = [pl.BlockSpec((rps, 1, tile), lambda r: (r, 0, 0)),
+                 pl.BlockSpec((rps, 1, tile), lambda r: (r, 0, 0))]
     if stash:
         out_shapes.append(jax.ShapeDtypeStruct((rr, ns2, tile), dtype))
-        out_specs.append(pl.BlockSpec((1, ns2, tile), lambda r: (r, 0, 0)))
+        out_specs.append(
+            pl.BlockSpec((rps, ns2, tile), lambda r: (r, 0, 0)))
 
     kwargs = {}
     if not interpret:
@@ -1439,8 +1468,8 @@ def fused_mix_mh_rounds(
     out = pl.pallas_call(
         _make_mh_rounds_kernel(n, d, dim, kk, ns2, float(jitter),
                                _math.log(2.0 * _math.pi), cand_model,
-                               stash),
-        grid=(rr,),
+                               stash, rps),
+        grid=(rr // rps,),
         in_specs=in_specs,
         out_shape=tuple(out_shapes),
         out_specs=out_specs,

@@ -52,13 +52,39 @@ def predictive_moments(
     sigma2,
     var_scale: str = "sigma2",       # 'sigma2' (reference) | 'marginal'
     normalized_cross: bool = True,   # False reproduces the two-families bug
+    solve_mode: Optional[str] = None,  # 'trsm' | 'inv_matmul' | None=auto
 ):
-    """Per-draw predictive means/variances at x_new: returns ((m,t), (m,t))."""
+    """Per-draw predictive means/variances at x_new: returns ((m,t), (m,t)).
+
+    solve_mode picks how v = L^{-1} r is formed per draw:
+      'trsm'       one triangular solve against the full (n, t) cross
+                   block — t sequential substitution columns;
+      'inv_matmul' triangular solve against I_n (n columns, t/n-fold less
+                   sequential substitution work at the bench shape's
+                   t=625 vs n=100) followed by one batched L^{-1} @ r
+                   matmul that rides the MXU (`precision=HIGHEST`: the
+                   variance term 1 - r'R^{-1}r cancels, bf16 passes are
+                   not enough). Same algebra; both paths are
+                   substitution + f32 products (tests/test_predict.py
+                   pins them together at conditioning-amplified
+                   roundoff).
+    None defaults to 'trsm': the v5e A/B at the bench shape (m=1000,
+    n=100, t=625) measured a WASH — trsm med 4.54 / min 4.25 ms vs
+    inv_matmul med 4.73 / min 3.49 — XLA's batched substitution already
+    overlaps the per-column chains across the m=1000 draws, so the MXU
+    reformulation buys nothing (round-5 measurement; kept selectable)."""
+    if solve_mode is None:
+        solve_mode = "trsm"
 
     def one(chol, a, u, beta, params):
         r = mixed_cross(spec, x, x_new, params, predict=True,
                         normalized=normalized_cross)      # (n, t)
-        v = linalg.tri_solve(chol, r)                      # (n, t)
+        if solve_mode == "inv_matmul":
+            linv = linalg.tri_solve(
+                chol, jnp.eye(chol.shape[-1], dtype=chol.dtype))
+            v = jnp.matmul(linv, r, precision=jax.lax.Precision.HIGHEST)
+        else:
+            v = linalg.tri_solve(chol, r)                  # (n, t)
         mean = beta + jnp.einsum("n,nt->t", a, v)
         rinv_quad = jnp.einsum("nt,nt->t", v, v)
         one_rinv_r = jnp.einsum("n,nt->t", u, v)

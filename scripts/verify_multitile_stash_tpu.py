@@ -16,7 +16,14 @@ n=300) on the real TPU and checks that
   3. predictions computed from the fit (which consumed the stash) match
      predictions recomputed from a rebuilt cache.
 
-Usage: python scripts/verify_multitile_stash_tpu.py [n]
+Round 5 (VERDICT r4 #5): runs the TILE-BOUNDARY sizes by default —
+n=256/384/512/1024 are exactly the stash-landing overshoot regime whose
+n=256 row-count crash (fc13c49) the original single n=300 gate missed,
+plus n=300 as the historical non-boundary point. n=1024's stash is
+capacity-capped by the 2 GiB budget (~508 rows), so its gate uses a
+smaller sampling budget that keeps every recorded draw inside the cap.
+
+Usage: python scripts/verify_multitile_stash_tpu.py [n ...]
 """
 from __future__ import annotations
 
@@ -28,8 +35,10 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+DEFAULT_SIZES = (256, 300, 384, 512, 1024)
 
-def main():
+
+def gate(n: int):
     import jax
 
     from ccgp_tpu.utils.cache import enable_persistent_cache
@@ -46,7 +55,6 @@ def main():
 
     assert jax.default_backend() == "tpu", jax.default_backend()
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     dtype = jnp.float32
     rng = np.random.default_rng(0)
     x_np = rng.uniform(size=(n, 2)).astype(np.float32)
@@ -57,8 +65,15 @@ def main():
 
     spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
                        dim=2, rough="tied", anisotropic=True)
-    cfg = MCMCConfig(start=(1.0, 1.0, 0.0, 0.0), n_max=1500,
-                     samp_size=400, net_samp_size=400, speculative=4)
+    if n >= 1024:
+        # capped-stash regime: 2 GiB / (1032*1024*4 B/row) ~ 508 rows;
+        # n_max bounds recorded draws strictly under the cap so the gate
+        # exercises the capped stash rather than its rebuild fallback
+        cfg = MCMCConfig(start=(1.0, 1.0, 0.0, 0.0), n_max=480,
+                         samp_size=200, net_samp_size=200, speculative=4)
+    else:
+        cfg = MCMCConfig(start=(1.0, 1.0, 0.0, 0.0), n_max=1500,
+                         samp_size=400, net_samp_size=400, speculative=4)
     kf, kp = jax.random.split(jax.random.PRNGKey(7))
 
     t0 = time.perf_counter()
@@ -125,7 +140,15 @@ def main():
         [sys.executable,
          str(Path(__file__).resolve().parent / "adjudicate_stash_oracle.py")],
         check=True)
-    print("OK")
+    print(f"OK n={n}")
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or list(DEFAULT_SIZES)
+    for n in sizes:
+        print(f"=== stash gate n={n} ===", flush=True)
+        gate(n)
+    print(f"ALL OK: sizes={sizes}")
 
 
 if __name__ == "__main__":
