@@ -24,9 +24,12 @@ def jitter_cholesky(a: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
     Returns the lower factor L with NaNs where factorization failed;
     callers detect failure via `jnp.isfinite`. `jitter` is relative to the
     mean diagonal, so correlation matrices (unit diagonal) get `jitter`
-    added directly.
+    added directly. Accepts a traced scalar (e.g. CombinedGPFit.jitter
+    inside a jitted lazy-predict program): only a STATIC Python zero
+    skips the add — a traced value always takes the add path (adding a
+    concrete 0.0 * scale * I is a bitwise no-op on normal diagonals).
     """
-    if jitter:
+    if not (isinstance(jitter, (int, float)) and jitter == 0.0):
         n = a.shape[-1]
         scale = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
         a = a + (jitter * scale)[..., None, None] * jnp.eye(n, dtype=a.dtype)

@@ -96,3 +96,21 @@ def test_bordered_quadratics_singular_is_nan(rng):
     y = rng.normal(size=(6,))
     q = linalg.bordered_cholesky_quadratics(jnp.asarray(a), jnp.asarray(y))
     assert not bool(jnp.isfinite(q["qyy"]))
+
+
+def test_jitter_cholesky_traced_jitter(rng):
+    """jitter may be a TRACED scalar (CombinedGPFit.jitter consumed by
+    the jitted lazy-predict program — the n=2048 scaling row's path);
+    only a static Python 0.0 may skip the add. Regression for the
+    round-5 TracerBoolConversionError."""
+    import jax
+
+    a = jnp.asarray(make_psd(rng, 7))
+    want = np.asarray(linalg.jitter_cholesky(a, 1e-6))
+    got = np.asarray(jax.jit(
+        lambda j: linalg.jitter_cholesky(a, j))(jnp.asarray(1e-6)))
+    assert np.allclose(got, want, rtol=1e-12)
+    # traced zero == static zero numerically
+    got0 = np.asarray(jax.jit(
+        lambda j: linalg.jitter_cholesky(a, j))(jnp.asarray(0.0)))
+    assert np.array_equal(got0, np.asarray(linalg.jitter_cholesky(a, 0.0)))

@@ -314,6 +314,47 @@ def test_rounds_kernel_interpret_matches_fallback(problem):
                                lower=True)), atol=1e-6)
 
 
+def test_rounds_kernel_rounds_per_step_bit_identical(problem):
+    """rounds_per_step only restructures the grid (rps rounds statically
+    unrolled per sequential step): every output — records, flags, stash
+    buffer — must be BIT-identical to rps=1. (On-chip the same held for
+    rps in {2,4,8}; the v5e timing sweep measured a wash at 2 and a
+    regression beyond, so 1 stays the default — DESIGN.md §14.)"""
+    spec, x, y, s2, _, _, _, kw = problem
+    import ccgp_tpu.models.likelihood as _lk
+    import ccgp_tpu.ops.pallas_chol_smallk as sk
+
+    rng = np.random.default_rng(5)
+    R, K, dim = 6, 4, 4
+    z = jnp.asarray([0.6, 0.4, 0.1, -0.2])
+    deltas = jnp.asarray(0.25 * rng.normal(size=(R * K, dim)))
+    log_u = jnp.asarray(np.log(rng.uniform(size=(R, K))))
+    lpv, lpb = jnp.asarray(-1e6), jnp.asarray(0.0)
+
+    orig = sk.fused_mix_mh_rounds
+    outs = {}
+    for rps in (1, 2, 3):
+        def spy(*args, **kws):
+            kws = dict(kws, interpret=True, rounds_per_step=rps)
+            return orig(*args, **kws)
+
+        sk.fused_mix_mh_rounds = spy
+        try:
+            rounds_k = _lk.make_mh_rounds(spec, x, y, s2, stash=True, **kw)
+            orig_backend = jax.default_backend
+            jax.default_backend = lambda: "tpu"
+            try:
+                outs[rps] = jax.tree_util.tree_map(
+                    np.asarray, rounds_k(z, lpv, lpb, deltas, log_u))
+            finally:
+                jax.default_backend = orig_backend
+        finally:
+            sk.fused_mix_mh_rounds = orig
+    for rps in (2, 3):
+        for k in outs[1]:
+            assert np.array_equal(outs[1][k], outs[rps][k]), (rps, k)
+
+
 @pytest.mark.slow
 def test_rounds_kernel_two_tile_interpret_matches_fallback():
     """128 < n <= 256 WITH stash: the two-tile blocked-Schur kernel path
