@@ -59,7 +59,12 @@ def main():
     dtype = jnp.float64 if args.fast else jnp.float32
     jitter = 1e-6 if args.fast else 1e-3
     n_samples = 100 if args.fast else 1000
-    n_warmup = 50 if args.fast else 500
+    # leap=8 / warmup=300 / the reference start vector: the settings
+    # scripts/run_hmc_comparison.py validated on v5e (leap=16 with a
+    # 500-step warmup collapsed the f32 dual-averaging adaptation to
+    # step_size 0 on this posterior — measured this round)
+    n_warmup = 50 if args.fast else 300
+    n_leapfrog = 8
 
     def f2_np(xy):
         a, b = xy[:, 0], xy[:, 1]
@@ -77,7 +82,7 @@ def main():
     spec = MixtureSpec(kernels.sqexp_family(), kernels.sqexp_family(),
                        dim=2, rough="tied", anisotropic=True)
     fam = kernels.sqexp_family()
-    start_np = np.zeros(4, np.float64)
+    start_np = np.asarray([1.0, 1.0, 0.0, 0.0], np.float64)
 
     def fit_predict(x, y, grid, key):
         kh, kp = jax.random.split(key)
@@ -89,7 +94,8 @@ def main():
         lap = laplace(lambda z: lp(z).val, jnp.asarray(start_np, x.dtype),
                       maxiter=100)
         res = hmc(lambda z: lp(z).val, lap.mode, kh, n_samples=n_samples,
-                  n_warmup=n_warmup, n_leapfrog=16, mass_cov=lap.cov)
+                  n_warmup=n_warmup, n_leapfrog=n_leapfrog,
+                  mass_cov=lap.cov)
         zs = res.samples
         betas = jax.vmap(lambda z: lp(z).beta)(zs)
         cache = build_factors(spec, x, y, zs, betas, jitter=jitter)
