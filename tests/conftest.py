@@ -166,8 +166,12 @@ def no_cache_writes():
     (above) — which also makes this fixture's cache-off window obsolete:
     keeping the cache ON lets these tests READ the entries
     `scripts/warm_test_cache.py` produced, the only thing that makes
-    their minutes-long compiles fast on a warm machine. Reads never
-    crashed (round-3's warm lanes deserialized these same entries
-    green); only in-process serialization did.
+    their minutes-long compiles fast on a warm machine. (The round-4
+    belief that only WRITES crash was falsified by the round-4 verdict:
+    with enough process history behind it the read/deserialize path
+    aborts too, and cold compiles segfault — the corruption is
+    process-history-dependent native state, not any one entry point.
+    That is why the whole-suite lane now runs as per-file subprocesses:
+    see pytest_cmdline_main above.)
     """
     yield
