@@ -249,10 +249,12 @@ def main():
     bayes_j = jax.jit(bayes_fit_predict)
     # threefry PRNGKey(7): the stream this metric has used since round 1,
     # kept for continuity — the headline depends on where Geweke stops
-    # THIS chain (1060 draws). An rbg key (XLA RngBitGenerator) makes each
-    # round ~6 us cheaper (measured 77 vs 84 us/recorded-draw) but is a
-    # different stream, i.e. a different chain; callers wanting raw speed
-    # should pass jax.random.key(seed, impl="rbg") to fit_combined_gp.
+    # THIS chain (1060 draws). The round-2 note that rbg keys shave ~6 us
+    # per round is OBSOLETE: since the split-chain Pallas kernel took the
+    # per-chunk threefry splits off the XLA path (round 3), an rbg run of
+    # this exact pipeline measures 19.97 us/round vs threefry's 18.97
+    # (scripts/bench_production_rbg.py, round 5) — the pinned stream now
+    # costs nothing, so there is no speed reason to switch.
     key = jax.random.PRNGKey(7)
     bres = jax.block_until_ready(bayes_j(x, y, grid, key))  # compile
 
