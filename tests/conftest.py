@@ -80,9 +80,11 @@ def pytest_cmdline_main(config):
     tests_dir = pathlib.Path(__file__).resolve().parent
 
     def _is_tests_dir(a):
+        # the tests dir itself, or the repo root (bare `pytest` from the
+        # repo root collects the whole suite too — same long-process risk)
         p = pathlib.Path(a.split("::")[0])
         try:
-            return p.resolve() == tests_dir
+            return p.resolve() in (tests_dir, tests_dir.parent)
         except OSError:
             return False
 
