@@ -278,3 +278,35 @@ def test_fit_combined_gp_speculative_path(rng):
     a_s = float(fit_s.mcmc.n_accepted) / float(fit_s.mcmc.n_proposals)
     a_0 = float(fit_0.mcmc.n_accepted) / float(fit_0.mcmc.n_proposals)
     assert abs(a_s - a_0) < 0.15, (a_s, a_0)
+
+
+def test_fit_combined_gp_matern_spline_speculative(rng):
+    """The reference's ORIGINAL 1-D mixture — Matérn(nu=5) smooth +
+    cubic-spline rough (`1D Combined GP Public.R` / two-families) —
+    through the speculative fit+predict path in the DEFAULT lane. Non-SE
+    mixtures cannot ride the fused SE rounds kernels, so this pins the
+    make_mh_round whole-round branch end-to-end at small budgets (the
+    full-budget runs live in the slow experiment tests)."""
+    from ccgp_tpu.models import (MixtureSpec, MCMCConfig, fit_combined_gp,
+                                 predict_combined_gp, InverseGamma)
+    from ccgp_tpu.ops import kernels
+
+    x = jnp.sort(jnp.asarray(rng.uniform(size=(14, 1))), axis=0)
+    y = jnp.sin(7 * x[:, 0]) + 0.3 * x[:, 0]
+    xt = jnp.asarray(rng.uniform(size=(9, 1)))
+    spec = MixtureSpec(kernels.matern_family(5.0), kernels.spline_family(),
+                       dim=1)
+    cfg = MCMCConfig(start=(1.0, 1.0, 0.0), n_max=400, samp_size=120,
+                     net_samp_size=80, speculative=4)
+    fit = fit_combined_gp(spec, x, y, jax.random.PRNGKey(2), mcmc=cfg,
+                          theta1_prior=InverseGamma(3, 2),
+                          theta2_prior=InverseGamma(5, 16), jitter=1e-8)
+    assert np.all(np.isfinite(np.asarray(fit.zs)))
+    assert int(fit.mcmc.n_accepted) > 0
+    pred = predict_combined_gp(spec, fit, x, xt, jax.random.PRNGKey(3))
+    assert np.all(np.isfinite(np.asarray(pred.mean)))
+    assert np.all(np.asarray(pred.upper) >= np.asarray(pred.lower))
+    # interpolation sanity: at the training points the posterior mean
+    # reproduces y (noise-free GP emulator)
+    pred_tr = predict_combined_gp(spec, fit, x, x, jax.random.PRNGKey(4))
+    assert np.allclose(np.asarray(pred_tr.mean), np.asarray(y), atol=5e-2)
